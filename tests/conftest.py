@@ -1,0 +1,21 @@
+import os
+import sys
+
+# Tests run on the CPU backend with an 8-device virtual mesh so that all
+# sharding/collective paths are exercised without TPU hardware (the analog of
+# the reference's "no cluster needed" property — SURVEY.md §4.3).
+#
+# The environment's sitecustomize registers a remote-TPU (axon) PJRT plugin
+# and pins JAX_PLATFORMS=axon, so we must override the config explicitly —
+# setdefault is not enough.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

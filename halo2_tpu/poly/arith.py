@@ -1,0 +1,110 @@
+"""Polynomial arithmetic helpers.
+
+Re-designs of `halo2_backend/src/arithmetic.rs` primitives for batched device
+execution:
+
+- `eval_polynomial` (arithmetic.rs:57-82, parallel Horner) becomes a
+  powers-inner-product in log depth: coeffs . [1, x, x^2, ...].
+- `kate_division` (arithmetic.rs:101-120, sequential reverse scan) becomes an
+  associative scan over affine maps — exact, log-depth, TPU-friendly.
+- `lagrange_interpolate` (arithmetic.rs:177-230) stays host-side python-int
+  (only used on tiny point sets by the multiopen provers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.field import Field, NLIMBS
+from ..ntt import powers
+
+
+def tree_sum(F: Field, a, axis: int = -2):
+    """Sum of field elements along `axis` via log-depth pairwise adds."""
+    a = jnp.moveaxis(a, axis, 0)
+    n = a.shape[0]
+    while n > 1:
+        if n % 2 == 1:
+            a = jnp.concatenate(
+                [a, F.zeros((1,) + a.shape[1:-1])], axis=0)
+            n += 1
+        a = F.add(a[: n // 2], a[n // 2:])
+        n = a.shape[0]
+    return a[0]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def eval_polynomial(F: Field, poly, x):
+    """Evaluate coefficients (..., n, L) at point x () -> (..., L)."""
+    n = poly.shape[-2]
+    # pad to a power of two for the doubling powers construction
+    m = 1 << (n - 1).bit_length()
+    xs = powers(F, x, m)[:n]
+    return tree_sum(F, F.mul(poly, xs), axis=-2)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def compute_inner_product(F: Field, a, b):
+    """Sum_i a_i * b_i along axis -2 (arithmetic.rs:87-97)."""
+    return tree_sum(F, F.mul(a, b), axis=-2)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def kate_division(F: Field, poly, b):
+    """Divide poly (..., n, L) by (X - b), dropping the remainder.
+
+    Returns quotient of length n-1.  The reverse-Horner recurrence
+    q_{i} = c_{i+1} + b * q_{i+1} is computed as an associative scan over the
+    affine maps x -> b*x + c_i (exact; matches arithmetic.rs:101-120).
+    """
+    n = poly.shape[-2]
+    coeffs = jnp.flip(poly[..., 1:, :], axis=-2)       # c_{n-1} ... c_1
+    mults = jnp.broadcast_to(b, coeffs.shape)
+
+    def combine(f, g):
+        # g after f: x -> g_m * (f_m * x + f_a) + g_a
+        fm, fa = f
+        gm, ga = g
+        return F.mul(fm, gm), F.add(F.mul(fa, gm), ga)
+
+    _, acc = jax.lax.associative_scan(combine, (mults, coeffs), axis=-2)
+    # acc[j] = q value after folding c_{n-1}..c_{n-1-j}; q coefficients in
+    # descending order -> flip back to ascending
+    return jnp.flip(acc, axis=-2)
+
+
+def lagrange_interpolate_int(p: int, points: list, evals: list) -> list:
+    """Host-side O(n^2) Lagrange interpolation over python ints
+    (arithmetic.rs:177-230).  Returns coefficient list of len(points)."""
+    assert len(points) == len(evals)
+    if len(points) == 1:
+        return [evals[0] % p]
+    n = len(points)
+    coeffs = [0] * n
+    for i, (xi, yi) in enumerate(zip(points, evals)):
+        # numerator poly prod_{j!=i} (X - xj), denominator prod (xi - xj)
+        num = [1]
+        denom = 1
+        for j, xj in enumerate(points):
+            if j == i:
+                continue
+            new = [0] * (len(num) + 1)
+            for d, c in enumerate(num):
+                new[d] = (new[d] - c * xj) % p
+                new[d + 1] = (new[d + 1] + c) % p
+            num = new
+            denom = (denom * (xi - xj)) % p
+        scale = (yi * pow(denom, p - 2, p)) % p
+        for d, c in enumerate(num):
+            coeffs[d] = (coeffs[d] + c * scale) % p
+    return coeffs
+
+
+def eval_polynomial_int(p: int, coeffs: list, x: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % p
+    return acc

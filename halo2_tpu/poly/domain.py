@@ -1,0 +1,203 @@
+"""Evaluation domains for polynomial arithmetic.
+
+Behavioral port of `halo2_backend/src/poly/domain.rs:18-467` (EvaluationDomain)
+re-designed around batched device arrays: every transform accepts shape
+(..., n, NLIMBS) so whole column sets move through the FFT pipeline in one
+compiled call, and the constants (t-evaluation inverses, coset scalars) live
+on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.field import Field, NLIMBS
+from ..ntt import get_ntt, powers
+
+
+class Rotation:
+    """Mirrors halo2_middleware/src/poly.rs:5-22."""
+
+    __slots__ = ("i",)
+
+    def __init__(self, i: int):
+        self.i = int(i)
+
+    @staticmethod
+    def cur():
+        return Rotation(0)
+
+    @staticmethod
+    def prev():
+        return Rotation(-1)
+
+    @staticmethod
+    def next():
+        return Rotation(1)
+
+    def __repr__(self):
+        return f"Rotation({self.i})"
+
+    def __eq__(self, other):
+        return isinstance(other, Rotation) and other.i == self.i
+
+    def __hash__(self):
+        return hash(("Rotation", self.i))
+
+
+class EvaluationDomain:
+    """Precomputed constants for the 2^k domain and the 2^extended_k coset
+    domain (quotient computations). See domain.rs:38-144 for the constant
+    derivations mirrored here."""
+
+    def __init__(self, F: Field, j: int, k: int):
+        self.F = F
+        self.k = k
+        self.n = 1 << k
+        self.quotient_poly_degree = j - 1
+
+        extended_k = k
+        while (1 << extended_k) < self.n * self.quotient_poly_degree:
+            extended_k += 1
+        assert extended_k <= F.S, "field 2-adicity too small for extended domain"
+        self.extended_k = extended_k
+        self.extended_n = 1 << extended_k
+
+        p = F.p
+        self.omega = pow(F.root_of_unity, 1 << (F.S - k), p)
+        self.omega_inv = pow(self.omega, p - 2, p)
+        self.extended_omega = pow(F.root_of_unity, 1 << (F.S - extended_k), p)
+        self.extended_omega_inv = pow(self.extended_omega, p - 2, p)
+        self.g_coset = F.zeta                      # ZETA
+        self.g_coset_inv = (F.zeta * F.zeta) % p   # ZETA^2 (= ZETA^{-1})
+        self.barycentric_weight = pow(self.n, p - 2, p)
+
+        # t(X) = X^n - 1 evaluated over the coset domain; repeats with period
+        # 2^(extended_k - k).  Stored inverted (we divide by them).
+        t_evals = []
+        orig = pow(F.zeta, self.n, p)
+        step = pow(self.extended_omega, self.n, p)
+        cur = orig
+        while True:
+            t_evals.append((cur - 1) % p)
+            cur = (cur * step) % p
+            if cur == orig:
+                break
+        assert len(t_evals) == 1 << (extended_k - k)
+        self.t_evaluations_inv = F.encode_ints(
+            [pow(t, p - 2, p) for t in t_evals])
+
+        self._ntt = get_ntt(F, k)
+        self._ntt_ext = get_ntt(F, extended_k)
+        # zeta power pattern for distribute_powers_zeta: period 3
+        self._zeta_fwd = F.encode_ints([1, self.g_coset, self.g_coset_inv])
+        self._zeta_inv = F.encode_ints([1, self.g_coset_inv, self.g_coset])
+
+    # ------------------------------------------------------------------
+    # constructors
+    # ------------------------------------------------------------------
+
+    def empty_lagrange(self, batch=()):
+        return self.F.zeros(tuple(batch) + (self.n,))
+
+    def empty_coeff(self, batch=()):
+        return self.F.zeros(tuple(batch) + (self.n,))
+
+    def empty_extended(self, batch=()):
+        return self.F.zeros(tuple(batch) + (self.extended_n,))
+
+    def constant_lagrange(self, x: int):
+        return self.F.full((self.n,), x)
+
+    def constant_extended(self, x: int):
+        return self.F.full((self.extended_n,), x)
+
+    # ------------------------------------------------------------------
+    # transforms (all batched over leading dims; poly axis = -2)
+    # ------------------------------------------------------------------
+
+    def lagrange_to_coeff(self, a):
+        assert a.shape[-2] == self.n
+        return self._ntt.inverse(a)
+
+    def coeff_to_lagrange(self, a):
+        assert a.shape[-2] == self.n
+        return self._ntt.forward(a)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _distribute_zeta(self, a, pattern):
+        n = a.shape[-2]
+        reps = (n + 2) // 3
+        scal = jnp.tile(pattern, (reps, 1))[:n]
+        return self.F.mul(a, scal)
+
+    def coeff_to_extended(self, a):
+        """Coefficients -> evaluations over the zeta-coset extended domain
+        (domain.rs:230-244)."""
+        assert a.shape[-2] == self.n
+        a = self._distribute_zeta(a, self._zeta_fwd)
+        pad = [(0, 0)] * a.ndim
+        pad[-2] = (0, self.extended_n - self.n)
+        a = jnp.pad(a, pad)
+        return self._ntt_ext.forward(a)
+
+    def extended_to_coeff(self, a):
+        """Extended coset evaluations -> coefficient vector, truncated to
+        n * quotient_poly_degree (domain.rs:271-293)."""
+        assert a.shape[-2] == self.extended_n
+        a = self._ntt_ext.inverse(a)
+        a = self._distribute_zeta(a, self._zeta_inv)
+        return a[..., : self.n * self.quotient_poly_degree, :]
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def divide_by_vanishing_poly(self, a):
+        assert a.shape[-2] == self.extended_n
+        t = self.t_evaluations_inv
+        reps = self.extended_n // t.shape[0]
+        return self.F.mul(a, jnp.tile(t, (reps, 1)))
+
+    def rotate_extended(self, a, rotation: Rotation):
+        """Rotate over the original domain viewed inside the extended domain
+        (domain.rs:247-263)."""
+        shift = (1 << (self.extended_k - self.k)) * rotation.i
+        return jnp.roll(a, -shift, axis=-2)
+
+    def rotate_lagrange(self, a, rotation: Rotation):
+        return jnp.roll(a, -rotation.i, axis=-2)
+
+    # ------------------------------------------------------------------
+    # host-side scalar helpers (python ints)
+    # ------------------------------------------------------------------
+
+    def rotate_omega_int(self, value: int, rotation: Rotation) -> int:
+        p = self.F.p
+        if rotation.i >= 0:
+            return (value * pow(self.omega, rotation.i, p)) % p
+        return (value * pow(self.omega_inv, -rotation.i, p)) % p
+
+    def l_i_range_int(self, x: int, xn: int, rotations) -> list:
+        """Barycentric Lagrange-basis evaluations l_i(x) for each rotation i
+        (domain.rs:425-450); host-side python ints, verifier-scale work."""
+        p = self.F.p
+        common = ((xn - 1) * self.barycentric_weight) % p
+        out = []
+        for rot in rotations:
+            r = Rotation(rot) if not isinstance(rot, Rotation) else rot
+            denom = (x - self.rotate_omega_int(1, r)) % p
+            inv = pow(denom, p - 2, p)
+            out.append(self.rotate_omega_int((inv * common) % p, r))
+        return out
+
+    def get_quotient_poly_degree(self) -> int:
+        return self.quotient_poly_degree
+
+    def __hash__(self):
+        return hash((self.F.p, self.k, self.extended_k))
+
+    def __eq__(self, other):
+        return (isinstance(other, EvaluationDomain) and other.F == self.F
+                and other.k == self.k and other.extended_k == self.extended_k)

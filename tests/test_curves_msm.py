@@ -1,0 +1,162 @@
+"""Curve group law + MSM tests vs python-int ground truth."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from halo2_tpu.curves import BN254_G1, PALLAS, VESTA
+from halo2_tpu.msm import msm, naive_msm, pippenger_msm, point_tree_sum
+
+
+def py_add(curve, P, Q):
+    """Affine addition over python ints; None = identity."""
+    p = curve.Fq.p
+    if P is None:
+        return Q
+    if Q is None:
+        return P
+    x1, y1 = P
+    x2, y2 = Q
+    if x1 == x2 and (y1 + y2) % p == 0:
+        return None
+    if P == Q:
+        lam = (3 * x1 * x1) * pow(2 * y1, p - 2, p) % p
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, p - 2, p) % p
+    x3 = (lam * lam - x1 - x2) % p
+    y3 = (lam * (x1 - x3) - y1) % p
+    return (x3, y3)
+
+
+def py_mul(curve, P, k):
+    acc = None
+    add = P
+    while k:
+        if k & 1:
+            acc = py_add(curve, acc, add)
+        add = py_add(curve, add, add)
+        k >>= 1
+    return acc
+
+
+CURVES = [BN254_G1, PALLAS, VESTA]
+
+
+@pytest.fixture(params=CURVES, ids=[c.name for c in CURVES])
+def curve(request):
+    return request.param
+
+
+def test_generator_on_curve(curve):
+    g = curve.generator()
+    aff = curve.to_affine_ints(g[None])[0]
+    x, y = aff
+    assert (y * y - x * x * x - curve.b) % curve.Fq.p == 0
+
+
+def test_add_double_vs_python(curve):
+    g_aff = (curve.gen_x, curve.gen_y)
+    pts_aff = [py_mul(curve, g_aff, k) for k in range(1, 9)]
+    pts = curve.from_affine_ints(pts_aff)
+    # pairwise adds
+    s = curve.add(pts[:4], pts[4:])
+    expected = [py_add(curve, pts_aff[i], pts_aff[4 + i]) for i in range(4)]
+    assert curve.to_affine_ints(s) == expected
+    # doubling
+    d = curve.double(pts)
+    assert curve.to_affine_ints(d) == [py_add(curve, q, q) for q in pts_aff]
+
+
+def test_add_edge_cases(curve):
+    g_aff = (curve.gen_x, curve.gen_y)
+    g = curve.from_affine_ints([g_aff])
+    inf = curve.identity((1,))
+    # P + inf, inf + P, inf + inf
+    assert curve.to_affine_ints(curve.add(g, inf)) == [g_aff]
+    assert curve.to_affine_ints(curve.add(inf, g)) == [g_aff]
+    assert curve.to_affine_ints(curve.add(inf, inf)) == [None]
+    # P + P (equal points through add) == double
+    assert curve.to_affine_ints(curve.add(g, g)) == [py_add(curve, g_aff, g_aff)]
+    # P + (-P) = inf
+    assert curve.to_affine_ints(curve.add(g, curve.neg(g))) == [None]
+    # double(inf) = inf
+    assert curve.to_affine_ints(curve.double(inf)) == [None]
+
+
+def test_scalar_mul(curve):
+    g_aff = (curve.gen_x, curve.gen_y)
+    g = curve.from_affine_ints([g_aff] * 3)
+    ks = [0, 12345, curve.Fr.p - 1]
+    sm = curve.scalar_mul(g, curve.Fr.encode_ints(ks))
+    assert curve.to_affine_ints(sm) == [py_mul(curve, g_aff, k) for k in ks]
+
+
+def test_batch_normalize(curve):
+    g_aff = (curve.gen_x, curve.gen_y)
+    pts_aff = [py_mul(curve, g_aff, k) for k in [1, 2, 3]]
+    pts = curve.from_affine_ints(pts_aff)
+    d = curve.double(pts)  # non-trivial Z
+    aff = curve.batch_normalize(d)
+    xs = curve.Fq.decode_ints(aff[:, 0])
+    ys = curve.Fq.decode_ints(aff[:, 1])
+    expected = [py_add(curve, q, q) for q in pts_aff]
+    assert list(zip(xs, ys)) == expected
+
+
+@pytest.mark.parametrize("n", [1, 7])
+def test_naive_msm(n):
+    curve = VESTA
+    rng = random.Random(n)
+    g_aff = (curve.gen_x, curve.gen_y)
+    pts_aff = [py_mul(curve, g_aff, rng.randrange(1, 1000)) for _ in range(n)]
+    scalars = [rng.randrange(curve.Fr.p) for _ in range(n)]
+    got = naive_msm(curve, curve.Fr.encode_ints(scalars),
+                    curve.from_affine_ints(pts_aff))
+    # ground truth via py ops on small multiples
+    acc = None
+    for s, pt in zip(scalars, pts_aff):
+        acc = py_add(curve, acc, py_mul(curve, pt, s))
+    assert curve.to_affine_ints(got[None])[0] == acc
+
+
+def test_pippenger_matches_naive():
+    curve = VESTA
+    rng = random.Random(99)
+    n = 100
+    g_aff = (curve.gen_x, curve.gen_y)
+    pts_aff = [py_mul(curve, g_aff, rng.randrange(1, 500)) for _ in range(n)]
+    # include an identity point and zero scalar in the mix
+    pts_aff[5] = None
+    scalars = [rng.randrange(curve.Fr.p) for _ in range(n)]
+    scalars[17] = 0
+    enc_s = curve.Fr.encode_ints(scalars)
+    enc_p = curve.from_affine_ints(pts_aff)
+    fast = pippenger_msm(curve, enc_s, enc_p, c=8, block=16)
+    slow = naive_msm(curve, enc_s, enc_p)
+    assert bool(curve.eq(fast, slow))
+
+
+def test_pippenger_window_c4():
+    curve = BN254_G1
+    rng = random.Random(7)
+    n = 64
+    g_aff = (curve.gen_x, curve.gen_y)
+    pts_aff = [py_mul(curve, g_aff, rng.randrange(1, 500)) for _ in range(n)]
+    scalars = [rng.randrange(curve.Fr.p) for _ in range(n)]
+    enc_s = curve.Fr.encode_ints(scalars)
+    enc_p = curve.from_affine_ints(pts_aff)
+    slow = naive_msm(curve, enc_s, enc_p)
+    fast = pippenger_msm(curve, enc_s, enc_p, c=4, block=32)
+    assert bool(curve.eq(fast, slow))
+
+
+def test_point_serde(curve):
+    g_aff = (curve.gen_x, curve.gen_y)
+    for k in [1, 2, 77]:
+        pt = py_mul(curve, g_aff, k)
+        b = curve.point_to_bytes(pt)
+        assert len(b) == 32
+        assert curve.point_from_bytes(b) == pt
+    assert curve.point_from_bytes(curve.point_to_bytes(None)) is None

@@ -1,0 +1,23 @@
+from .expression import (
+    ADVICE, FIXED, INSTANCE, FIRST_PHASE, SECOND_PHASE, THIRD_PHASE,
+    Column, Selector, Challenge, Expression, Rotation,
+)
+from .constraint_system import (
+    ConstraintSystem, TableColumn, Gate, LookupArgument, ShuffleArgument,
+    VirtualCells,
+)
+from .circuit import (
+    Circuit, Value, Cell, AssignedCell, Region, Layouter, SimpleFloorPlanner,
+    SynthesisError, NotEnoughRowsAvailable,
+    CompiledCircuit, Preprocessing, compile_circuit, WitnessCalculator,
+)
+
+__all__ = [
+    "ADVICE", "FIXED", "INSTANCE", "FIRST_PHASE", "SECOND_PHASE",
+    "THIRD_PHASE", "Column", "Selector", "Challenge", "Expression", "Rotation",
+    "ConstraintSystem", "TableColumn", "Gate", "LookupArgument",
+    "ShuffleArgument", "VirtualCells",
+    "Circuit", "Value", "Cell", "AssignedCell", "Region", "Layouter",
+    "SimpleFloorPlanner", "SynthesisError", "NotEnoughRowsAvailable",
+    "CompiledCircuit", "Preprocessing", "compile_circuit", "WitnessCalculator",
+]

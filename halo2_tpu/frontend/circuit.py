@@ -1,0 +1,455 @@
+"""Circuit trait, Value/AssignedCell, regions, floor planning, compilation.
+
+Python rendering of halo2_frontend/src/circuit.rs (compile_circuit :40-112,
+WitnessCalculator :255-359, Layouter/Region user API :414-979) and the
+single-pass floor planner (floor_planner/single_pass.rs): regions are
+measured with a shape pass, placed at the earliest row where every used
+column is free, then assigned.
+
+Witness values are canonical python ints wrapped in `Value` (known/unknown);
+reduction happens at assignment against the circuit's field modulus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+from .constraint_system import ConstraintSystem
+from .expression import (
+    ADVICE, FIXED, INSTANCE, Column, Selector, Challenge, Rotation,
+)
+
+
+class SynthesisError(Exception):
+    pass
+
+
+class NotEnoughRowsAvailable(Exception):
+    def __init__(self, k):
+        super().__init__(f"not enough rows available, need larger k than {k}")
+        self.k = k
+
+
+class Value:
+    """Option-like witness wrapper (frontend/src/circuit/value.rs)."""
+
+    __slots__ = ("_v",)
+
+    def __init__(self, v=None):
+        self._v = v
+
+    @staticmethod
+    def unknown() -> "Value":
+        return Value(None)
+
+    @staticmethod
+    def known(v: int) -> "Value":
+        return Value(int(v))
+
+    def is_known(self) -> bool:
+        return self._v is not None
+
+    def value(self):
+        return self._v
+
+    def map(self, fn) -> "Value":
+        return Value(fn(self._v)) if self._v is not None else Value()
+
+    def zip(self, other: "Value") -> "Value":
+        if self._v is None or other._v is None:
+            return Value()
+        return Value((self._v, other._v))
+
+    def and_then(self, fn) -> "Value":
+        return fn(self._v) if self._v is not None else Value()
+
+    # arithmetic combinators (reduction deferred to assignment)
+    def __add__(self, other):
+        other = other if isinstance(other, Value) else Value.known(other)
+        return self.zip(other).map(lambda ab: ab[0] + ab[1])
+
+    def __sub__(self, other):
+        other = other if isinstance(other, Value) else Value.known(other)
+        return self.zip(other).map(lambda ab: ab[0] - ab[1])
+
+    def __mul__(self, other):
+        other = other if isinstance(other, Value) else Value.known(other)
+        return self.zip(other).map(lambda ab: ab[0] * ab[1])
+
+    def double(self):
+        return self.map(lambda v: 2 * v)
+
+    def square(self):
+        return self.map(lambda v: v * v)
+
+    def invert(self, p: int) -> "Value":
+        return self.map(lambda v: pow(v, p - 2, p) if v % p else 0)
+
+    def __repr__(self):
+        return f"Value({self._v})"
+
+
+@dataclass(frozen=True)
+class Cell:
+    column: Column
+    row: int
+
+
+class AssignedCell:
+    __slots__ = ("cell", "_value")
+
+    def __init__(self, cell: Cell, value: Value):
+        self.cell = cell
+        self._value = value
+
+    def value(self) -> Value:
+        return self._value
+
+    def copy_advice(self, region: "Region", column: Column,
+                    offset: int) -> "AssignedCell":
+        out = region.assign_advice(column, offset, self._value)
+        if region._shape is None:   # only the assign pass records the copy
+            region._layouter._assignment.copy(
+                self.cell.column, self.cell.row, out.cell.column, out.cell.row)
+        return out
+
+
+class _RegionShape:
+    """Shape-measuring sink for the first pass."""
+
+    def __init__(self):
+        self.columns = set()
+        self.row_count = 0
+
+    def note(self, column, offset):
+        self.columns.add(column)
+        self.row_count = max(self.row_count, offset + 1)
+
+
+class Region:
+    """User-facing region handle; in shape mode records geometry only."""
+
+    def __init__(self, layouter, shape: Optional[_RegionShape], start: int):
+        self._layouter = layouter
+        self._shape = shape
+        self._start = start
+
+    @property
+    def _assignment(self):
+        return self._layouter._assignment
+
+    def _abs(self, offset: int) -> int:
+        return self._start + offset
+
+    def assign_advice(self, column: Column, offset: int,
+                      value) -> AssignedCell:
+        if callable(value):
+            value = value()
+        if not isinstance(value, Value):
+            value = Value.known(value)
+        if self._shape is not None:
+            self._shape.note(column, offset)
+            return AssignedCell(Cell(column, offset), value)
+        row = self._abs(offset)
+        self._assignment.assign_advice(column, row, value)
+        return AssignedCell(Cell(column, row), value)
+
+    def assign_advice_from_constant(self, column: Column, offset: int,
+                                    constant: int) -> AssignedCell:
+        cell = self.assign_advice(column, offset, Value.known(constant))
+        if self._shape is None:
+            self._layouter._constants_to_assign.append((constant, cell.cell))
+        return cell
+
+    def assign_advice_from_instance(self, instance: Column, instance_row: int,
+                                    column: Column, offset: int) -> AssignedCell:
+        if self._shape is not None:
+            self._shape.note(column, offset)
+            return AssignedCell(Cell(column, offset), Value.unknown())
+        value = self._assignment.query_instance(instance, instance_row)
+        row = self._abs(offset)
+        self._assignment.assign_advice(column, row, value)
+        self._assignment.copy(instance, instance_row, column, row)
+        return AssignedCell(Cell(column, row), value)
+
+    def assign_fixed(self, column: Column, offset: int, value) -> AssignedCell:
+        if callable(value):
+            value = value()
+        if not isinstance(value, Value):
+            value = Value.known(value)
+        if self._shape is not None:
+            self._shape.note(column, offset)
+            return AssignedCell(Cell(column, offset), value)
+        row = self._abs(offset)
+        self._assignment.assign_fixed(column, row, value)
+        return AssignedCell(Cell(column, row), value)
+
+    def enable_selector(self, selector: Selector, offset: int):
+        if self._shape is not None:
+            self._shape.note(("selector", selector.index), offset)
+            return
+        self._assignment.enable_selector(selector, self._abs(offset))
+
+    def constrain_equal(self, a: Cell, b: Cell):
+        if self._shape is None:
+            self._assignment.copy(a.column, a.row, b.column, b.row)
+
+    def constrain_constant(self, cell: Cell, constant: int):
+        if self._shape is None:
+            self._layouter._constants_to_assign.append((constant, cell))
+
+
+class Layouter:
+    """Single-chip layouter (floor_planner/single_pass.rs:28-105)."""
+
+    def __init__(self, assignment, constants: List[Column]):
+        self._assignment = assignment
+        self._constants = constants
+        self._columns_cursor: Dict = {}
+        self._constants_cursor = 0
+        self._constants_to_assign: List = []
+
+    def assign_region(self, name: str, closure: Callable):
+        # pass 1: measure
+        shape = _RegionShape()
+        self._assignment.enter_region(name)
+        closure(Region(self, shape, 0))
+        # place at earliest row where all used columns are free
+        start = 0
+        for col in shape.columns:
+            start = max(start, self._columns_cursor.get(col, 0))
+        for col in shape.columns:
+            self._columns_cursor[col] = start + shape.row_count
+        # pass 2: assign
+        result = closure(Region(self, None, start))
+        self._assignment.exit_region()
+        self._flush_constants()
+        return result
+
+    def assign_table(self, name: str, closure: Callable):
+        """Table region (fixed-only); placed like a normal region."""
+        return self.assign_region(name, closure)
+
+    def _flush_constants(self):
+        if not self._constants_to_assign:
+            return
+        if not self._constants:
+            raise SynthesisError(
+                "constrain_constant requires an enable_constant column")
+        col = self._constants[0]
+        for constant, advice_cell in self._constants_to_assign:
+            row = self._constants_cursor
+            # constants column also advances the shared cursor
+            self._columns_cursor[col] = max(
+                self._columns_cursor.get(col, 0), row + 1)
+            self._constants_cursor += 1
+            self._assignment.assign_fixed(col, row, Value.known(constant))
+            self._assignment.copy(col, row, advice_cell.column,
+                                  advice_cell.row)
+        self._constants_to_assign = []
+
+    def constrain_instance(self, cell: Cell, instance: Column, row: int):
+        self._assignment.copy(cell.column, cell.row, instance, row)
+
+    def get_challenge(self, challenge: Challenge) -> Value:
+        return self._assignment.get_challenge(challenge)
+
+    def namespace(self, name: str) -> "Layouter":
+        return self
+
+
+class SimpleFloorPlanner:
+    @staticmethod
+    def synthesize(assignment, circuit, config, constants):
+        layouter = Layouter(assignment, constants)
+        circuit.synthesize(config, layouter)
+
+
+class Circuit:
+    """Base class (halo2_frontend/src/plonk/circuit.rs:241-284)."""
+
+    floor_planner = SimpleFloorPlanner
+
+    def without_witnesses(self) -> "Circuit":
+        raise NotImplementedError
+
+    def configure(self, meta: ConstraintSystem):
+        raise NotImplementedError
+
+    def synthesize(self, config, layouter: Layouter):
+        raise NotImplementedError
+
+
+# ----------------------------------------------------------------------
+# assignment sinks
+# ----------------------------------------------------------------------
+
+class KeygenAssembly:
+    """Records fixed values, selectors, and copies (frontend keygen.rs:13-163)."""
+
+    def __init__(self, p: int, k: int, cs: ConstraintSystem):
+        self.p = p
+        self.k = k
+        self.n = 1 << k
+        self.usable_rows = self.n - (cs.blinding_factors() + 1)
+        self.fixed = [[0] * self.n for _ in range(cs.num_fixed_columns)]
+        self.selectors = [[False] * self.n for _ in range(cs.num_selectors)]
+        self.copies: List = []
+
+    def enter_region(self, name):
+        pass
+
+    def exit_region(self):
+        pass
+
+    def enable_selector(self, selector: Selector, row: int):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        self.selectors[selector.index][row] = True
+
+    def query_instance(self, column: Column, row: int) -> Value:
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        return Value.unknown()
+
+    def assign_advice(self, column: Column, row: int, value: Value):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+
+    def assign_fixed(self, column: Column, row: int, value: Value):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if value.is_known():
+            self.fixed[column.index][row] = value.value() % self.p
+
+    def copy(self, lcol: Column, lrow: int, rcol: Column, rrow: int):
+        if lrow >= self.usable_rows or rrow >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        self.copies.append(((lcol, lrow), (rcol, rrow)))
+
+    def get_challenge(self, challenge) -> Value:
+        return Value.unknown()
+
+
+class WitnessCollection:
+    """Per-phase advice-only sink (frontend/src/circuit.rs:114-251)."""
+
+    def __init__(self, p: int, k: int, cs: ConstraintSystem, phase: int,
+                 instances: List[List[int]], challenges: Dict[int, int],
+                 usable_rows: int):
+        self.p = p
+        self.k = k
+        self.n = 1 << k
+        self.cs = cs
+        self.phase = phase
+        self.instances = instances
+        self.challenges = challenges
+        self.usable_rows = usable_rows
+        self.advice = {i: [0] * self.n
+                       for i, ph in enumerate(cs.advice_column_phase)
+                       if ph == phase}
+
+    def enter_region(self, name):
+        pass
+
+    def exit_region(self):
+        pass
+
+    def enable_selector(self, selector, row):
+        pass
+
+    def query_instance(self, column: Column, row: int) -> Value:
+        if row >= len(self.instances[column.index]):
+            if row >= self.usable_rows:
+                raise NotEnoughRowsAvailable(self.k)
+            return Value.known(0)
+        return Value.known(self.instances[column.index][row])
+
+    def assign_advice(self, column: Column, row: int, value: Value):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if column.phase != self.phase:
+            return
+        if not value.is_known():
+            raise SynthesisError(
+                f"unknown witness value at {column} row {row}")
+        self.advice[column.index][row] = value.value() % self.p
+
+    def assign_fixed(self, column, row, value):
+        pass
+
+    def copy(self, *args):
+        pass
+
+    def get_challenge(self, challenge: Challenge) -> Value:
+        if challenge.index in self.challenges:
+            return Value.known(self.challenges[challenge.index])
+        return Value.unknown()
+
+
+# ----------------------------------------------------------------------
+# compilation
+# ----------------------------------------------------------------------
+
+@dataclass
+class Preprocessing:
+    """halo2_middleware/src/circuit.rs:141-144."""
+    fixed: List[List[int]]
+    copies: List
+
+
+@dataclass
+class CompiledCircuit:
+    """The frontend/backend contract (middleware circuit.rs:149-152)."""
+    cs: ConstraintSystem     # selector-free after conversion
+    preprocessing: Preprocessing
+
+
+def compile_circuit(F, k: int, circuit: Circuit,
+                    compress_selectors: bool = True):
+    """Frontend compilation (frontend/src/circuit.rs:40-112).
+
+    Returns (CompiledCircuit, config, cs).  Currently both selector modes use
+    direct selector->fixed conversion; degree-aware compression is tracked as
+    a follow-up (compress_selectors.rs).
+    """
+    cs = ConstraintSystem()
+    config = circuit.configure(cs)
+    n = 1 << k
+    if n < cs.minimum_rows():
+        raise NotEnoughRowsAvailable(k)
+
+    assembly = KeygenAssembly(F.p, k, cs)
+    circuit.floor_planner.synthesize(
+        assembly, circuit.without_witnesses(), config, cs.constants)
+
+    selector_polys = cs.directly_convert_selectors_to_fixed(assembly.selectors)
+    fixed = [col[:] for col in assembly.fixed]
+    fixed.extend(selector_polys)
+
+    return (CompiledCircuit(cs, Preprocessing(fixed, assembly.copies)),
+            config, cs)
+
+
+class WitnessCalculator:
+    """Per-phase witness synthesis (frontend/src/circuit.rs:255-359)."""
+
+    def __init__(self, F, k: int, circuit: Circuit, config, cs: ConstraintSystem,
+                 instances: List[List[int]]):
+        self.F = F
+        self.k = k
+        self.circuit = circuit
+        self.config = config
+        self.cs = cs
+        self.instances = instances
+        self.usable_rows = (1 << k) - (cs.blinding_factors() + 1)
+
+    def calc(self, phase: int, challenges: Dict[int, int]):
+        """Returns {advice_col_index: list[int]} for columns in `phase`."""
+        witness = WitnessCollection(
+            self.F.p, self.k, self.cs, phase, self.instances, challenges,
+            self.usable_rows)
+        self.circuit.floor_planner.synthesize(
+            witness, self.circuit, self.config, self.cs.constants)
+        return witness.advice

@@ -1,0 +1,74 @@
+"""Top-level proving API (the halo2_proofs legacy-glue equivalent:
+halo2_proofs/src/plonk/{keygen,prover}.rs).
+
+    params = ParamsIPA.new(VESTA, k)
+    pk = keygen(F, params, k, circuit)
+    proof = create_proof(params, pk, [circuit], [instances], rng)
+    ok = verify(params, pk.vk, proof, [instances])
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from .commit import (
+    ParamsIPA, ProverIPA, VerifierIPA, SingleStrategyIPA, new_rng,
+)
+from .frontend import compile_circuit, WitnessCalculator
+from .plonk import keygen as backend_keygen, Prover
+from .plonk.verifier import verify_proof as backend_verify_queries
+from .transcript import Blake2bWrite, Blake2bRead
+
+
+def keygen(F, params, k: int, circuit, compress_selectors: bool = True):
+    """compile_circuit + backend keygen; returns ProvingKey (with .vk)."""
+    compiled, _config, _cs = compile_circuit(F, k, circuit,
+                                             compress_selectors)
+    return backend_keygen(F, params, compiled, k)
+
+
+def create_proof(params, pk, circuits: List, instances: List[List[List[int]]],
+                 rng=None, transcript_cls=Blake2bWrite,
+                 multiopen_prover_cls=ProverIPA) -> bytes:
+    """Full proof over one or more circuit instances
+    (halo2_proofs/src/plonk/prover.rs:19-98)."""
+    F = pk.vk.F
+    k = pk.vk.k
+    rng = rng if rng is not None else new_rng()
+    transcript = transcript_cls(params.curve)
+    mo_prover = multiopen_prover_cls(params)
+
+    prover = Prover(params, pk, instances, rng, transcript,
+                    query_instance=mo_prover.QUERY_INSTANCE)
+
+    # per-circuit witness calculators over freshly-configured constraint
+    # systems (must structurally match the pk's)
+    calcs = []
+    for circuit, inst in zip(circuits, instances):
+        compiled, config, cs = compile_circuit(F, k, circuit)
+        calcs.append(WitnessCalculator(F, k, circuit, config, cs, inst))
+
+    challenges = {}
+    cs = pk.vk.cs.cs
+    for phase in cs.phases():
+        witnesses = [calc.calc(phase, challenges) for calc in calcs]
+        challenges = prover.commit_phase(phase, witnesses)
+
+    queries = prover.create_proof()
+    mo_prover.create_proof(rng, transcript, queries)
+    return transcript.finalize()
+
+
+def verify(params, vk, proof: bytes, instances: List[List[List[int]]],
+           transcript_cls=Blake2bRead, multiopen_verifier_cls=VerifierIPA,
+           strategy_cls=SingleStrategyIPA) -> bool:
+    transcript = transcript_cls(params.curve, proof)
+    verifier = multiopen_verifier_cls(params)
+    try:
+        queries = backend_verify_queries(
+            params, vk, transcript, instances, verifier.QUERY_INSTANCE)
+        strategy = strategy_cls(params)
+        return strategy.process(
+            lambda msm: verifier.verify_proof(transcript, queries, msm))
+    except (ValueError, AssertionError):
+        return False

@@ -145,6 +145,10 @@ class ParamsIPA:
         """commit + normalize to host affine ints (for the transcript)."""
         return self.curve.to_affine_ints(self.commit(poly, blind)[None])[0]
 
+    def commit_affine_lagrange(self, values, blind: Blind):
+        return self.curve.to_affine_ints(
+            self.commit_lagrange(values, blind)[None])[0]
+
     def empty_msm(self) -> "MSMIPA":
         return MSMIPA(self)
 

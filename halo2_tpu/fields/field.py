@@ -63,6 +63,7 @@ def _carry_propagate(acc):
 
 def _sub_limbs(a, b):
     """(a - b) over 16-bit limb arrays; returns (diff, borrow_out in {0,1})."""
+    a, b = jnp.broadcast_arrays(a, b)
     al = jnp.moveaxis(a, -1, 0)
     bl = jnp.moveaxis(b, -1, 0)
 

@@ -1,0 +1,732 @@
+"""PLONK prover: phase state machine + the 14-step proof pipeline.
+
+Mirror of halo2_backend/src/plonk/prover.rs (state machine :174-494, proof
+steps :512-899) with the lookup (lookup/prover.rs), permutation
+(permutation/prover.rs), shuffle (shuffle/prover.rs) and vanishing
+(vanishing/prover.rs) arguments, re-built around batched device compute:
+
+- column sets move through iFFT/coset-FFT as stacked arrays,
+- grand products use batch inversion + log-depth prefix products,
+- the h(X) quotient is one traced XLA computation over the extended domain
+  (the `GraphEvaluator` equivalent — XLA does the CSE/fusion),
+- transcript traffic and challenge derivation stay on the host between
+  device phases.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.field import Field, NLIMBS
+from ..frontend.expression import ADVICE, FIXED, INSTANCE, Rotation
+from ..ntt import powers
+from ..poly.arith import eval_polynomial, prefix_product
+from ..poly.domain import Rotation as DomRotation
+from ..commit.base import Blind, PolyRef, ProverQuery
+from .evaluation import evaluate_expression
+from .keygen import ProvingKey
+
+
+def _enc_list(F: Field, xs: List[int]):
+    return F.encode_ints(xs)
+
+
+class Evaluator:
+    """Builds and caches the jitted h-evaluation (plonk/evaluation.rs:317-623)."""
+
+    def __init__(self, F: Field, domain, cs_back):
+        self.F = F
+        self.domain = domain
+        self.cs_back = cs_back
+        self._compiled = {}
+        # X values over the extended coset domain: zeta * ext_omega^i
+        pts = powers(F, F.encode_int(domain.extended_omega), domain.extended_n)
+        self.ext_points = F.mul(pts, F.encode_int(domain.g_coset))
+
+    def evaluate_h(self, pk: "ProvingKey", advice_polys, instance_polys,
+                   challenges, y, beta, gamma, theta, lookups, shuffles,
+                   permutations):
+        """All list args are per-circuit; polys are coeff-form device arrays.
+
+        lookups[c][l] = (product_poly, permuted_input_poly, permuted_table_poly)
+        shuffles[c][s] = product_poly
+        permutations[c] = [z_poly per set]
+        Returns extended-domain evaluations of the numerator of h.
+        """
+        F = self.F
+        n_circ = len(advice_polys)
+        key = n_circ
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                functools.partial(self._h_fn, pk))
+        args = {
+            "advice": advice_polys, "instance": instance_polys,
+            "challenges": challenges,
+            "y": y, "beta": beta, "gamma": gamma, "theta": theta,
+            "lookups": lookups, "shuffles": shuffles,
+            "perms": permutations,
+        }
+        return self._compiled[key](args)
+
+    def _h_fn(self, pk, args):
+        F, domain, cs = self.F, self.domain, self.cs_back
+        ext_n = domain.extended_n
+        one = F.ones(())
+        y = args["y"]
+        beta, gamma, theta = args["beta"], args["gamma"], args["theta"]
+        value = F.zeros((ext_n,))
+        rot_scale = 1 << (domain.extended_k - domain.k)
+        bf = cs.blinding_factors()
+        last_rot = -(bf + 1)
+
+        l0, l_last, l_active = pk.l0, pk.l_last, pk.l_active_row
+
+        for c in range(len(args["advice"])):
+            advice_c = domain.coeff_to_extended(args["advice"][c]) \
+                if args["advice"][c].shape[0] else args["advice"][c]
+            instance_c = domain.coeff_to_extended(args["instance"][c]) \
+                if args["instance"][c].shape[0] else args["instance"][c]
+            challenges = {i: ch for i, ch in enumerate(args["challenges"])}
+
+            def ev(expr):
+                return evaluate_expression(
+                    F, expr, fixed=pk.fixed_cosets, advice=advice_c,
+                    instance=instance_c, challenges=challenges,
+                    rot_scale=rot_scale)
+
+            # ---- custom gates (evaluation.rs:375-401)
+            for gate in cs.cs.gates:
+                for poly in gate.polys:
+                    value = F.add(F.mul(value, y), ev(poly))
+
+            # ---- permutation argument (evaluation.rs:404-483)
+            sets = args["perms"][c]
+            if sets:
+                chunk_len = cs.degree() - 2
+                first_z = domain.coeff_to_extended(sets[0])
+                last_z = domain.coeff_to_extended(sets[-1])
+                exts = [domain.coeff_to_extended(z) for z in sets]
+                # l_0(X) * (1 - z_0(X))
+                value = F.add(F.mul(value, y),
+                              F.mul(l0, F.sub(one, first_z)))
+                # l_last(X) * (z_l(X)^2 - z_l(X))
+                value = F.add(F.mul(value, y),
+                              F.mul(l_last, F.sub(F.square(last_z), last_z)))
+                # l_0(X) * (z_i(X) - z_{i-1}(omega^last X))
+                for i in range(1, len(exts)):
+                    prev_rot = domain.rotate_extended(
+                        exts[i - 1], DomRotation(last_rot))
+                    value = F.add(F.mul(value, y),
+                                  F.mul(l0, F.sub(exts[i], prev_rot)))
+                # product constraints per chunk
+                columns = cs.cs.permutation.columns
+                kind_map = {ADVICE: advice_c, FIXED: pk.fixed_cosets,
+                            INSTANCE: instance_c}
+                for ci, z_ext in enumerate(exts):
+                    chunk = columns[ci * chunk_len:(ci + 1) * chunk_len]
+                    left = domain.rotate_extended(z_ext, DomRotation(1))
+                    right = z_ext
+                    delta_pow = pow(F.delta, ci * chunk_len, F.p)
+                    cur_delta = F.mul(F.mul(beta, self.ext_points),
+                                      F.encode_int(delta_pow))
+                    for j, col in enumerate(chunk):
+                        vals = kind_map[col.kind][col.index]
+                        sigma = pk.permutation.cosets[ci * chunk_len + j]
+                        left = F.mul(left, F.add(F.add(
+                            vals, F.mul(beta, sigma)), gamma))
+                        right = F.mul(right, F.add(F.add(
+                            vals, cur_delta), gamma))
+                        cur_delta = F.mul(cur_delta, F.encode_int(F.delta))
+                    value = F.add(F.mul(value, y),
+                                  F.mul(F.sub(left, right), l_active))
+
+            # ---- lookups (evaluation.rs:486-558)
+            for lk_arg, (z_poly, a_poly, s_poly) in zip(
+                    cs.cs.lookups, args["lookups"][c]):
+                z_ext = domain.coeff_to_extended(z_poly)
+                a_ext = domain.coeff_to_extended(a_poly)
+                s_ext = domain.coeff_to_extended(s_poly)
+                z_next = domain.rotate_extended(z_ext, DomRotation(1))
+                a_prev = domain.rotate_extended(a_ext, DomRotation(-1))
+
+                def compress(exprs):
+                    acc = F.zeros((ext_n,))
+                    for e in exprs:
+                        acc = F.add(F.mul(acc, theta), ev(e))
+                    return acc
+
+                comp_in = compress(lk_arg.input_expressions)
+                comp_tab = compress(lk_arg.table_expressions)
+                # l_0 * (1 - z)
+                value = F.add(F.mul(value, y), F.mul(l0, F.sub(one, z_ext)))
+                # l_last * (z^2 - z)
+                value = F.add(F.mul(value, y),
+                              F.mul(l_last, F.sub(F.square(z_ext), z_ext)))
+                # active * (z(wX)(a'+b)(s'+g) - z(X)(A+b)(S+g))
+                left = F.mul(F.mul(z_next, F.add(a_ext, beta)),
+                             F.add(s_ext, gamma))
+                right = F.mul(F.mul(z_ext, F.add(comp_in, beta)),
+                              F.add(comp_tab, gamma))
+                value = F.add(F.mul(value, y),
+                              F.mul(F.sub(left, right), l_active))
+                # l_0 * (a' - s')
+                value = F.add(F.mul(value, y),
+                              F.mul(l0, F.sub(a_ext, s_ext)))
+                # active * (a' - s') * (a' - a'(w^-1 X))
+                value = F.add(F.mul(value, y),
+                              F.mul(F.mul(F.sub(a_ext, s_ext),
+                                          F.sub(a_ext, a_prev)), l_active))
+
+            # ---- shuffles (evaluation.rs:561-620)
+            for sh_arg, z_poly in zip(cs.cs.shuffles, args["shuffles"][c]):
+                z_ext = domain.coeff_to_extended(z_poly)
+                z_next = domain.rotate_extended(z_ext, DomRotation(1))
+
+                def compress(exprs):
+                    acc = F.zeros((ext_n,))
+                    for e in exprs:
+                        acc = F.add(F.mul(acc, theta), ev(e))
+                    return acc
+
+                comp_in = compress(sh_arg.input_expressions)
+                comp_sh = compress(sh_arg.shuffle_expressions)
+                value = F.add(F.mul(value, y), F.mul(l0, F.sub(one, z_ext)))
+                value = F.add(F.mul(value, y),
+                              F.mul(l_last, F.sub(F.square(z_ext), z_ext)))
+                left = F.mul(z_next, F.add(comp_sh, gamma))
+                right = F.mul(z_ext, F.add(comp_in, gamma))
+                value = F.add(F.mul(value, y),
+                              F.mul(F.sub(left, right), l_active))
+
+        return value
+
+
+class Prover:
+    """Multi-circuit prover state machine (prover.rs:130-899)."""
+
+    def __init__(self, params, pk: ProvingKey, instances: List[List[List[int]]],
+                 rng, transcript, query_instance: bool):
+        """instances: per circuit, per instance column, list of values.
+        query_instance: True for IPA (commit instances), False for KZG
+        (absorb values as common scalars)."""
+        self.params = params
+        self.pk = pk
+        self.F = pk.vk.F
+        self.curve = params.curve
+        self.rng = rng
+        self.transcript = transcript
+        self.query_instance = query_instance
+        self.challenges: Dict[int, int] = {}
+        self.next_phase_index = 0
+        cs = pk.vk.cs.cs
+        for inst in instances:
+            if len(inst) != cs.num_instance_columns:
+                raise ValueError("invalid number of instance columns")
+
+        F = self.F
+        domain = pk.vk.domain
+        n = domain.n
+        bf = pk.vk.cs.blinding_factors()
+
+        # [TRANSCRIPT-1] vk hash
+        pk.vk.hash_into(transcript)
+
+        # [TRANSCRIPT-2] instances
+        self.instance_values = []   # per circuit: (ni, n, L) lagrange
+        self.instance_polys = []    # per circuit: (ni, n, L) coeff
+        for inst in instances:
+            cols = []
+            for values in inst:
+                if len(values) > n - (bf + 1):
+                    raise ValueError("instance too large")
+                if not query_instance:
+                    for v in values:
+                        transcript.common_scalar(v % F.p)
+                cols.append([v % F.p for v in values] +
+                            [0] * (n - len(values)))
+            ni = len(cols)
+            vals = F.encode_ints([v for col in cols for v in col]).reshape(
+                ni, n, NLIMBS) if ni else F.zeros((0, n))
+            if query_instance:
+                for i in range(ni):
+                    comm = params.commit_affine_lagrange(vals[i], Blind(0))
+                    transcript.common_point(comm)
+            self.instance_values.append(vals)
+            self.instance_polys.append(
+                domain.lagrange_to_coeff(vals) if ni else vals)
+
+        na = cs.num_advice_columns
+        self.advice_values = [F.zeros((na, n)) for _ in instances]
+        self.advice_blinds = [[Blind(0)] * na for _ in instances]
+
+    # ------------------------------------------------------------------
+
+    def commit_phase(self, phase: int,
+                     witnesses: List[Dict[int, List[int]]]) -> Dict[int, int]:
+        """witnesses: per circuit, {advice_col_index: values} for this phase.
+        Returns the challenge dict after this phase.  (prover.rs:309-494)"""
+        F = self.F
+        pk = self.pk
+        cs = pk.vk.cs.cs
+        n = pk.vk.domain.n
+        bf = pk.vk.cs.blinding_factors()
+        unusable_start = n - (bf + 1)
+        unblinded = set(cs.unblinded_advice_columns)
+        rng = self.rng
+
+        column_indices = [i for i, ph in enumerate(cs.advice_column_phase)
+                          if ph == phase]
+
+        for circ, witness in enumerate(witnesses):
+            assert set(witness.keys()) == set(column_indices), \
+                f"witness columns {set(witness.keys())} != phase columns"
+            for ci in column_indices:
+                values = [v % F.p for v in witness[ci]]
+                assert len(values) == n
+                if ci not in unblinded:
+                    for r in range(unusable_start, n):
+                        values[r] = rng.randrange(F.p)
+                    blind = Blind(rng.randrange(F.p))
+                else:
+                    blind = Blind(0)
+                col = F.encode_ints(values)
+                comm = self.params.commit_affine_lagrange(col, blind)
+                # [TRANSCRIPT-3]
+                self.transcript.write_point(comm)
+                self.advice_values[circ] = \
+                    self.advice_values[circ].at[ci].set(col)
+                self.advice_blinds[circ][ci] = blind
+
+        # [TRANSCRIPT-4]
+        for index, ch_phase in enumerate(cs.challenge_phase):
+            if ch_phase == phase:
+                assert index not in self.challenges
+                self.challenges[index] = self.transcript.squeeze_challenge()
+
+        self.next_phase_index += 1
+        return dict(self.challenges)
+
+    # ------------------------------------------------------------------
+
+    def create_proof(self):
+        F = self.F
+        p = F.p
+        pk = self.pk
+        params = self.params
+        cs_back = pk.vk.cs
+        cs = cs_back.cs
+        domain = pk.vk.domain
+        n = domain.n
+        bf = cs_back.blinding_factors()
+        rng = self.rng
+        t = self.transcript
+        n_circ = len(self.instance_values)
+
+        challenges = [self.challenges[i] for i in range(cs.num_challenges)]
+        challenges_enc = [F.encode_int(c) for c in challenges]
+
+        # [TRANSCRIPT-5] theta
+        theta = t.squeeze_challenge()
+
+        # [TRANSCRIPT-6] lookup permuted commitments
+        permuted_lookups = []
+        for c in range(n_circ):
+            permuted_lookups.append([
+                self._lookup_commit_permuted(c, lk, theta, challenges_enc)
+                for lk in cs.lookups])
+
+        # [TRANSCRIPT-7/8] beta, gamma
+        beta = t.squeeze_challenge()
+        gamma = t.squeeze_challenge()
+
+        # [TRANSCRIPT-9] permutation grand products
+        permutations_z = [self._permutation_commit(c, beta, gamma)
+                          for c in range(n_circ)]
+
+        # [TRANSCRIPT-10] lookup products
+        lookups_committed = []
+        for c in range(n_circ):
+            lookups_committed.append([
+                self._lookup_commit_product(pl, beta, gamma)
+                for pl in permuted_lookups[c]])
+
+        # [TRANSCRIPT-11] shuffle products
+        shuffles_committed = []
+        for c in range(n_circ):
+            shuffles_committed.append([
+                self._shuffle_commit_product(c, sh, theta, gamma,
+                                             challenges_enc)
+                for sh in cs.shuffles])
+
+        # [TRANSCRIPT-12] vanishing random poly
+        random_ints = [rng.randrange(p) for _ in range(n)]
+        random_poly = F.encode_ints(random_ints)
+        random_blind = Blind(rng.randrange(p))
+        t.write_point(params.commit_affine(random_poly, random_blind))
+
+        # advice -> coeff form
+        advice_polys = [domain.lagrange_to_coeff(a) if a.shape[0] else a
+                        for a in self.advice_values]
+
+        # [TRANSCRIPT-13] y; evaluate h
+        y = t.squeeze_challenge()
+        h_ext = pk.ev.evaluate_h(
+            pk, advice_polys, self.instance_polys, challenges_enc,
+            F.encode_int(y), F.encode_int(beta), F.encode_int(gamma),
+            F.encode_int(theta),
+            [[(lk["product_poly"], lk["permuted_input_poly"],
+               lk["permuted_table_poly"]) for lk in lkc]
+             for lkc in lookups_committed],
+            [[sh["product_poly"] for sh in shc] for shc in shuffles_committed],
+            [[s["poly"] for s in pz] for pz in permutations_z])
+
+        # [TRANSCRIPT-14] h pieces
+        h_ext = domain.divide_by_vanishing_poly(h_ext)
+        h_coeff = domain.extended_to_coeff(h_ext)
+        n_pieces = domain.quotient_poly_degree
+        h_pieces = [h_coeff[i * n:(i + 1) * n] for i in range(n_pieces)]
+        h_blinds = [Blind(rng.randrange(p)) for _ in range(n_pieces)]
+        for piece, blind in zip(h_pieces, h_blinds):
+            t.write_point(params.commit_affine(piece, blind))
+
+        # [TRANSCRIPT-15] x
+        x = t.squeeze_challenge()
+        xn = pow(x, n, p)
+
+        def evalp(poly, point: int) -> int:
+            return F.decode_int(
+                eval_polynomial(F, poly, F.encode_int(point)))
+
+        # [TRANSCRIPT-16] instance evals (QUERY_INSTANCE schemes only)
+        if self.query_instance:
+            for c in range(n_circ):
+                for column, at in cs_back.instance_queries:
+                    ev = evalp(self.instance_polys[c][column.index],
+                               domain.rotate_omega_int(x, at))
+                    t.write_scalar(ev)
+
+        # [TRANSCRIPT-17] advice evals
+        for c in range(n_circ):
+            for column, at in cs_back.advice_queries:
+                ev = evalp(advice_polys[c][column.index],
+                           domain.rotate_omega_int(x, at))
+                t.write_scalar(ev)
+
+        # [TRANSCRIPT-18] fixed evals
+        for column, at in cs_back.fixed_queries:
+            ev = evalp(pk.fixed_polys[column.index],
+                       domain.rotate_omega_int(x, at))
+            t.write_scalar(ev)
+
+        # [TRANSCRIPT-19] vanishing: fold h pieces by xn, eval random poly
+        h_poly = None
+        h_blind = 0
+        for piece, blind in zip(reversed(h_pieces), reversed(h_blinds)):
+            if h_poly is None:
+                h_poly = piece
+                h_blind = blind.value
+            else:
+                h_poly = F.add(F.mul(h_poly, F.encode_int(xn)), piece)
+                h_blind = (h_blind * xn + blind.value) % p
+        t.write_scalar(evalp(random_poly, x))
+
+        # [TRANSCRIPT-20] sigma evals
+        m = len(cs.permutation.columns)
+        for j in range(m):
+            t.write_scalar(evalp(pk.permutation.polys[j], x))
+
+        # [TRANSCRIPT-21] permutation z evals
+        x_next = domain.rotate_omega_int(x, Rotation(1))
+        x_last = domain.rotate_omega_int(x, Rotation(-(bf + 1)))
+        for c in range(n_circ):
+            sets = permutations_z[c]
+            for si, s in enumerate(sets):
+                t.write_scalar(evalp(s["poly"], x))
+                t.write_scalar(evalp(s["poly"], x_next))
+                if si < len(sets) - 1:
+                    t.write_scalar(evalp(s["poly"], x_last))
+
+        # [TRANSCRIPT-22] lookup evals
+        x_prev = domain.rotate_omega_int(x, Rotation(-1))
+        for c in range(n_circ):
+            for lk in lookups_committed[c]:
+                t.write_scalar(evalp(lk["product_poly"], x))
+                t.write_scalar(evalp(lk["product_poly"], x_next))
+                t.write_scalar(evalp(lk["permuted_input_poly"], x))
+                t.write_scalar(evalp(lk["permuted_input_poly"], x_prev))
+                t.write_scalar(evalp(lk["permuted_table_poly"], x))
+
+        # [TRANSCRIPT-23] shuffle evals
+        for c in range(n_circ):
+            for sh in shuffles_committed[c]:
+                t.write_scalar(evalp(sh["product_poly"], x))
+                t.write_scalar(evalp(sh["product_poly"], x_next))
+
+        # 13. assemble prover queries (prover.rs:840-889)
+        queries: List[ProverQuery] = []
+        for c in range(n_circ):
+            if self.query_instance:
+                inst_refs = {}
+                for column, at in cs_back.instance_queries:
+                    if column.index not in inst_refs:
+                        inst_refs[column.index] = PolyRef(
+                            self.instance_polys[c][column.index], Blind(0))
+                    queries.append(ProverQuery(
+                        domain.rotate_omega_int(x, at),
+                        inst_refs[column.index]))
+            adv_refs = {}
+            for column, at in cs_back.advice_queries:
+                if column.index not in adv_refs:
+                    adv_refs[column.index] = PolyRef(
+                        advice_polys[c][column.index],
+                        self.advice_blinds[c][column.index])
+                queries.append(ProverQuery(
+                    domain.rotate_omega_int(x, at), adv_refs[column.index]))
+            # permutation sets
+            sets = permutations_z[c]
+            set_refs = [PolyRef(s["poly"], s["blind"]) for s in sets]
+            for ref in set_refs:
+                queries.append(ProverQuery(x, ref))
+                queries.append(ProverQuery(x_next, ref))
+            for ref in reversed(set_refs[:-1]):
+                queries.append(ProverQuery(x_last, ref))
+            # lookups
+            for lk in lookups_committed[c]:
+                prod = PolyRef(lk["product_poly"], lk["product_blind"])
+                pin = PolyRef(lk["permuted_input_poly"],
+                              lk["permuted_input_blind"])
+                ptab = PolyRef(lk["permuted_table_poly"],
+                               lk["permuted_table_blind"])
+                queries += [ProverQuery(x, prod), ProverQuery(x, pin),
+                            ProverQuery(x, ptab), ProverQuery(x_prev, pin),
+                            ProverQuery(x_next, prod)]
+            # shuffles
+            for sh in shuffles_committed[c]:
+                prod = PolyRef(sh["product_poly"], sh["product_blind"])
+                queries += [ProverQuery(x, prod), ProverQuery(x_next, prod)]
+        # fixed columns
+        fixed_refs = {}
+        for column, at in cs_back.fixed_queries:
+            if column.index not in fixed_refs:
+                fixed_refs[column.index] = PolyRef(
+                    pk.fixed_polys[column.index], Blind(0))
+            queries.append(ProverQuery(
+                domain.rotate_omega_int(x, at), fixed_refs[column.index]))
+        # sigma polys
+        for j in range(m):
+            queries.append(ProverQuery(
+                x, PolyRef(pk.permutation.polys[j], Blind(0))))
+        # h and random poly
+        queries.append(ProverQuery(x, PolyRef(h_poly, Blind(h_blind))))
+        queries.append(ProverQuery(x, PolyRef(random_poly, random_blind)))
+
+        return queries
+
+    # ------------------------------------------------------------------
+    # argument helpers
+    # ------------------------------------------------------------------
+
+    def _eval_lagrange(self, circ: int, expr, challenges_enc):
+        """Evaluate an expression over the base lagrange domain."""
+        F = self.F
+        return evaluate_expression(
+            F, expr, fixed=self.pk.fixed_values,
+            advice=self.advice_values[circ],
+            instance=self.instance_values[circ],
+            challenges={i: e for i, e in enumerate(challenges_enc)},
+            rot_scale=1)
+
+    def _compress(self, circ, exprs, theta_enc, challenges_enc):
+        F = self.F
+        acc = F.zeros((self.pk.vk.domain.n,))
+        for e in exprs:
+            acc = F.add(F.mul(acc, theta_enc),
+                        self._eval_lagrange(circ, e, challenges_enc))
+        return acc
+
+    def _lookup_commit_permuted(self, circ, lk_arg, theta, challenges_enc):
+        """lookup/prover.rs:64-173 + permute_expression_pair :410-494."""
+        F = self.F
+        p = F.p
+        pk = self.pk
+        domain = pk.vk.domain
+        n = domain.n
+        bf = pk.vk.cs.blinding_factors()
+        usable = n - (bf + 1)
+        rng = self.rng
+        theta_enc = F.encode_int(theta)
+
+        comp_in = self._compress(circ, lk_arg.input_expressions, theta_enc,
+                                 challenges_enc)
+        comp_tab = self._compress(circ, lk_arg.table_expressions, theta_enc,
+                                  challenges_enc)
+
+        in_ints = F.decode_ints(comp_in)[:usable]
+        tab_ints = F.decode_ints(comp_tab)[:usable]
+
+        perm_in = sorted(in_ints)
+        leftover: Dict[int, int] = {}
+        for v in tab_ints:
+            leftover[v] = leftover.get(v, 0) + 1
+        perm_tab = [0] * usable
+        repeated_rows = []
+        for row, v in enumerate(perm_in):
+            if row == 0 or v != perm_in[row - 1]:
+                perm_tab[row] = v
+                if leftover.get(v, 0) > 0:
+                    leftover[v] -= 1
+                else:
+                    raise ValueError(
+                        f"lookup '{lk_arg.name}': input {v} not in table")
+            else:
+                repeated_rows.append(row)
+        for v in sorted(leftover):
+            for _ in range(leftover[v]):
+                perm_tab[repeated_rows.pop()] = v
+        assert not repeated_rows
+
+        perm_in += [rng.randrange(p) for _ in range(bf + 1)]
+        perm_tab += [rng.randrange(p) for _ in range(bf + 1)]
+
+        permuted_input = F.encode_ints(perm_in)
+        permuted_table = F.encode_ints(perm_tab)
+
+        in_blind = Blind(rng.randrange(p))
+        tab_blind = Blind(rng.randrange(p))
+        self.transcript.write_point(
+            self.params.commit_affine_lagrange(permuted_input, in_blind))
+        self.transcript.write_point(
+            self.params.commit_affine_lagrange(permuted_table, tab_blind))
+
+        return {
+            "compressed_input": comp_in, "compressed_table": comp_tab,
+            "permuted_input": permuted_input, "permuted_table": permuted_table,
+            "permuted_input_poly": domain.lagrange_to_coeff(permuted_input),
+            "permuted_table_poly": domain.lagrange_to_coeff(permuted_table),
+            "permuted_input_blind": in_blind,
+            "permuted_table_blind": tab_blind,
+        }
+
+    def _lookup_commit_product(self, pl, beta, gamma):
+        """lookup/prover.rs:182-324."""
+        F = self.F
+        p = F.p
+        pk = self.pk
+        domain = pk.vk.domain
+        n = domain.n
+        bf = pk.vk.cs.blinding_factors()
+        rng = self.rng
+        b_enc, g_enc = F.encode_int(beta), F.encode_int(gamma)
+
+        denom = F.mul(F.add(pl["permuted_input"], b_enc),
+                      F.add(pl["permuted_table"], g_enc))
+        denom_inv = F.batch_inv(denom)
+        numer = F.mul(F.add(pl["compressed_input"], b_enc),
+                      F.add(pl["compressed_table"], g_enc))
+        product = F.mul(numer, denom_inv)
+
+        cum = prefix_product(F, product)
+        z = jnp.concatenate([F.ones((1,)), cum], axis=0)[: n - bf]
+        z = jnp.concatenate(
+            [z, F.encode_ints([rng.randrange(p) for _ in range(bf)])], axis=0)
+
+        blind = Blind(rng.randrange(p))
+        self.transcript.write_point(
+            self.params.commit_affine_lagrange(z, blind))
+        return {
+            "product_poly": domain.lagrange_to_coeff(z),
+            "product_blind": blind,
+            "permuted_input_poly": pl["permuted_input_poly"],
+            "permuted_table_poly": pl["permuted_table_poly"],
+            "permuted_input_blind": pl["permuted_input_blind"],
+            "permuted_table_blind": pl["permuted_table_blind"],
+        }
+
+    def _permutation_commit(self, circ, beta, gamma):
+        """permutation/prover.rs:50-197; returns list of sets."""
+        F = self.F
+        p = F.p
+        pk = self.pk
+        cs = pk.vk.cs.cs
+        domain = pk.vk.domain
+        n = domain.n
+        bf = pk.vk.cs.blinding_factors()
+        rng = self.rng
+        columns = cs.permutation.columns
+        if not columns:
+            return []
+        chunk_len = pk.vk.cs_degree - 2
+        b_enc, g_enc = F.encode_int(beta), F.encode_int(gamma)
+        omega_pows = powers(F, F.encode_int(domain.omega), n)
+        kind_map = {ADVICE: self.advice_values[circ],
+                    FIXED: pk.fixed_values,
+                    INSTANCE: self.instance_values[circ]}
+
+        sets = []
+        last_z = 1
+        delta_power = 0   # global column counter for delta powers
+        for ci in range(0, len(columns), chunk_len):
+            chunk = columns[ci: ci + chunk_len]
+            modified = F.ones((n,))
+            for j, col in enumerate(chunk):
+                vals = kind_map[col.kind][col.index]
+                sigma = pk.permutation.permutations[ci + j]
+                modified = F.mul(modified, F.add(F.add(
+                    F.mul(b_enc, sigma), g_enc), vals))
+            modified = F.batch_inv(modified)
+            for j, col in enumerate(chunk):
+                vals = kind_map[col.kind][col.index]
+                deltaomega = F.mul(omega_pows, F.encode_int(
+                    pow(F.delta, delta_power, p)))
+                modified = F.mul(modified, F.add(F.add(
+                    F.mul(deltaomega, b_enc), g_enc), vals))
+                delta_power += 1
+
+            cum = prefix_product(F, modified)
+            z = jnp.concatenate(
+                [F.encode_ints([last_z]),
+                 F.mul(cum[:-1], F.encode_int(last_z))], axis=0)
+            # blinding rows
+            blind_rows = F.encode_ints(
+                [rng.randrange(p) for _ in range(bf)])
+            z = jnp.concatenate([z[: n - bf], blind_rows], axis=0)
+            last_z = F.decode_int(z[n - (bf + 1)])
+
+            blind = Blind(rng.randrange(p))
+            self.transcript.write_point(
+                self.params.commit_affine_lagrange(z, blind))
+            sets.append({"poly": domain.lagrange_to_coeff(z), "blind": blind})
+        return sets
+
+    def _shuffle_commit_product(self, circ, sh_arg, theta, gamma,
+                                challenges_enc):
+        """shuffle/prover.rs:97-211."""
+        F = self.F
+        p = F.p
+        pk = self.pk
+        domain = pk.vk.domain
+        n = domain.n
+        bf = pk.vk.cs.blinding_factors()
+        rng = self.rng
+        theta_enc = F.encode_int(theta)
+        g_enc = F.encode_int(gamma)
+
+        comp_in = self._compress(circ, sh_arg.input_expressions, theta_enc,
+                                 challenges_enc)
+        comp_sh = self._compress(circ, sh_arg.shuffle_expressions, theta_enc,
+                                 challenges_enc)
+        product = F.mul(F.add(comp_in, g_enc),
+                        F.batch_inv(F.add(comp_sh, g_enc)))
+        cum = prefix_product(F, product)
+        z = jnp.concatenate([F.ones((1,)), cum], axis=0)[: n - bf]
+        z = jnp.concatenate(
+            [z, F.encode_ints([rng.randrange(p) for _ in range(bf)])], axis=0)
+        blind = Blind(rng.randrange(p))
+        self.transcript.write_point(
+            self.params.commit_affine_lagrange(z, blind))
+        return {"product_poly": domain.lagrange_to_coeff(z),
+                "product_blind": blind}

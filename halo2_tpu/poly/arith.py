@@ -76,6 +76,24 @@ def kate_division(F: Field, poly, b):
     return jnp.flip(acc, axis=-2)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def prefix_product(F: Field, a):
+    """Inclusive running product along axis 0 via Hillis-Steele doubling
+    (log rounds, one batched field mul per round).  Replaces the reference's
+    sequential grand-product scans (lookup/prover.rs:254-265,
+    permutation/prover.rs:160-166)."""
+    n = a.shape[0]
+    rows = jnp.arange(n)
+
+    def round_(r, x):
+        d = jnp.int32(1) << r
+        prev = jnp.where((rows >= d)[:, None], jnp.roll(x, d, axis=0),
+                         F.ones((n,)))
+        return F.mul(x, prev)
+
+    return jax.lax.fori_loop(0, max((n - 1).bit_length(), 1), round_, a)
+
+
 def lagrange_interpolate_int(p: int, points: list, evals: list) -> list:
     """Host-side O(n^2) Lagrange interpolation over python ints
     (arithmetic.rs:177-230).  Returns coefficient list of len(points)."""

@@ -4,8 +4,15 @@ from .ipa import (
     SingleStrategyIPA, AccumulatorStrategyIPA,
 )
 from .ipa_multiopen import ProverIPA, VerifierIPA
+from .kzg import (
+    ParamsKZG, MSMKZG, DualMSM, GuardKZG, SingleStrategyKZG,
+    AccumulatorStrategyKZG,
+)
+from .gwc import ProverGWC, VerifierGWC
 
 __all__ = [
+    "ParamsKZG", "MSMKZG", "DualMSM", "GuardKZG", "SingleStrategyKZG",
+    "AccumulatorStrategyKZG", "ProverGWC", "VerifierGWC",
     "Blind", "PolyRef", "ProverQuery", "VerifierQuery", "new_rng",
     "ParamsIPA", "MSMIPA", "GuardIPA",
     "create_opening_proof", "verify_opening_proof",

@@ -1,0 +1,274 @@
+"""KZG commitment scheme on BN254 (halo2_backend/src/poly/kzg/*).
+
+ParamsKZG holds [s^i]G1 bases (device) and the Lagrange-basis form computed
+directly from the factored evaluation (kzg/commitment.rs:64-131); MSMKZG /
+DualMSM are host-side deferred accumulators evaluated with the device MSM,
+with the final two-pairing check on the host (compat/bn254_pairing.py).
+
+For locally-generated (test) params the toxic scalar s is retained and the
+DualMSM check uses the equivalent s*left == right G1 identity — marked
+insecure, exactly as the reference marks `setup` "MUST NOT be used in
+production".  Imported SRS params use the real pairing.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+from ..curves import BN254_G1
+from ..curves.curve import Curve
+from ..fields.field import NLIMBS
+from ..msm import msm
+from ..compat import bn254_pairing as bn
+from .base import Blind
+
+_PARAMS_CACHE = os.path.join(
+    os.environ.get("HALO2_TPU_CACHE",
+                   os.path.expanduser("~/.cache/halo2_tpu")), "params")
+
+
+class ParamsKZG:
+    def __init__(self, k: int, g_aff: List, g_lagrange_aff: List,
+                 g2, s_g2, s_secret: Optional[int] = None):
+        self.curve = BN254_G1
+        self.k = k
+        self.n = 1 << k
+        self.g_aff = g_aff
+        self.g_lagrange_aff = g_lagrange_aff
+        self.g = self.curve.from_affine_ints(g_aff)
+        self.g_lagrange = self.curve.from_affine_ints(g_lagrange_aff)
+        self.g2 = g2            # ((x0,x1),(y0,y1)) ints
+        self.s_g2 = s_g2
+        self.s_secret = s_secret
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def setup(k: int, s: Optional[int] = None, rng=None) -> "ParamsKZG":
+        """Insecure trusted setup (kzg/commitment.rs:64-131)."""
+        curve = BN254_G1
+        F = curve.Fr
+        p = F.p
+        n = 1 << k
+        if s is None:
+            import random as _r
+            s = (rng or _r.SystemRandom()).randrange(1, p)
+
+        # scalars host-side, points via one batched device scalar-mul
+        powers_s = [1] * n
+        for i in range(1, n):
+            powers_s[i] = powers_s[i - 1] * s % p
+        base = curve.from_affine_ints([(curve.gen_x, curve.gen_y)] * n)
+        g_proj = curve.scalar_mul(base, F.encode_ints(powers_s))
+        g_aff = curve.to_affine_ints(g_proj)
+
+        # lagrange form: L_i(s) = (s^n - 1)/n * omega^i / (s - omega^i)
+        root = pow(F.root_of_unity, 1 << (F.S - k), p)
+        n_inv = pow(n, p - 2, p)
+        multiplier = (pow(s, n, p) - 1) * n_inv % p
+        root_pows = [1] * n
+        for i in range(1, n):
+            root_pows[i] = root_pows[i - 1] * root % p
+        # batch inversion of (s - omega^i)
+        denoms = [(s - rp) % p for rp in root_pows]
+        prefix = [1] * (n + 1)
+        for i, d in enumerate(denoms):
+            prefix[i + 1] = prefix[i] * d % p
+        total_inv = pow(prefix[n], p - 2, p)
+        inv = [0] * n
+        acc = total_inv
+        for i in range(n - 1, -1, -1):
+            inv[i] = acc * prefix[i] % p
+            acc = acc * denoms[i] % p
+        lag_scalars = [multiplier * root_pows[i] % p * inv[i] % p
+                       for i in range(n)]
+        gl_proj = curve.scalar_mul(base, F.encode_ints(lag_scalars))
+        g_lagrange_aff = curve.to_affine_ints(gl_proj)
+
+        g2 = bn.g2_to_ints(bn.g2_generator())
+        s_g2 = bn.g2_to_ints(bn.g2_scalar_mul(bn.g2_generator(), s))
+        return ParamsKZG(k, g_aff, g_lagrange_aff, g2, s_g2, s_secret=s)
+
+    @staticmethod
+    def new(k: int, s: Optional[int] = 3141592653589793) -> "ParamsKZG":
+        """Cached deterministic test params (toxic s retained, insecure)."""
+        os.makedirs(_PARAMS_CACHE, exist_ok=True)
+        path = os.path.join(_PARAMS_CACHE, f"kzg-bn254-{k}-{s or 0}.bin")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return ParamsKZG.read(f.read(), s_secret=s)
+        params = ParamsKZG.setup(k, s=s)
+        with open(path, "wb") as f:
+            f.write(params.write())
+        return params
+
+    # -- serde (kzg/commitment.rs:167-267 RawBytes-style) ----------------
+
+    def write(self) -> bytes:
+        out = bytearray(struct.pack("<I", self.k))
+        for pt in self.g_aff:
+            out += self.curve.point_to_bytes(pt)
+        for pt in self.g_lagrange_aff:
+            out += self.curve.point_to_bytes(pt)
+        for g2pt in (self.g2, self.s_g2):
+            (x0, x1), (y0, y1) = g2pt
+            for v in (x0, x1, y0, y1):
+                out += int(v).to_bytes(32, "little")
+        return bytes(out)
+
+    @staticmethod
+    def read(data: bytes, s_secret=None) -> "ParamsKZG":
+        k = struct.unpack("<I", data[:4])[0]
+        n = 1 << k
+        off = 4
+        pts = []
+        for _ in range(2 * n):
+            pts.append(BN254_G1.point_from_bytes(data[off: off + 32]))
+            off += 32
+        g2s = []
+        for _ in range(2):
+            vals = []
+            for _ in range(4):
+                vals.append(int.from_bytes(data[off: off + 32], "little"))
+                off += 32
+            g2s.append(((vals[0], vals[1]), (vals[2], vals[3])))
+        return ParamsKZG(k, pts[:n], pts[n:], g2s[0], g2s[1],
+                         s_secret=s_secret)
+
+    # -- commitments (blind is ignored: KZG relies on the random poly) ---
+
+    def commit(self, poly, blind: Blind = None):
+        n = poly.shape[0]
+        return msm(self.curve, poly, self.g[:n])
+
+    def commit_lagrange(self, values, blind: Blind = None):
+        n = values.shape[0]
+        return msm(self.curve, values, self.g_lagrange[:n])
+
+    def commit_affine(self, poly, blind: Blind = None):
+        return self.curve.to_affine_ints(self.commit(poly)[None])[0]
+
+    def commit_affine_lagrange(self, values, blind: Blind = None):
+        return self.curve.to_affine_ints(self.commit_lagrange(values)[None])[0]
+
+    def empty_msm(self) -> "MSMKZG":
+        return MSMKZG(self)
+
+
+class MSMKZG:
+    """kzg/msm.rs:14-92 host-side accumulator."""
+
+    def __init__(self, params: ParamsKZG):
+        self.params = params
+        self.scalars: List[int] = []
+        self.bases: List = []
+
+    def clone(self) -> "MSMKZG":
+        m = MSMKZG(self.params)
+        m.scalars = list(self.scalars)
+        m.bases = list(self.bases)
+        return m
+
+    def append_term(self, scalar: int, point):
+        self.scalars.append(scalar % self.params.curve.Fr.p)
+        self.bases.append(point)
+
+    def add_msm(self, other: "MSMKZG"):
+        self.scalars.extend(other.scalars)
+        self.bases.extend(other.bases)
+
+    def scale(self, factor: int):
+        p = self.params.curve.Fr.p
+        self.scalars = [s * factor % p for s in self.scalars]
+
+    def combine_with_base(self, base: int):
+        """Horner folding of scalars (kzg/msm.rs:37-46)."""
+        p = self.params.curve.Fr.p
+        acc = 1
+        for i in range(len(self.scalars) - 1, -1, -1):
+            self.scalars[i] = self.scalars[i] * acc % p
+            acc = acc * base % p
+
+    def eval_affine(self):
+        curve = self.params.curve
+        pts = [b for s, b in zip(self.scalars, self.bases) if b is not None]
+        scs = [s for s, b in zip(self.scalars, self.bases) if b is not None]
+        if not pts:
+            return None
+        out = msm(curve, curve.Fr.encode_ints(scs),
+                  curve.from_affine_ints(pts))
+        return curve.to_affine_ints(out[None])[0]
+
+
+class DualMSM:
+    """Two-channel accumulator; check is e(left, sG2) e(right, -G2) == 1
+    (kzg/msm.rs:151-207)."""
+
+    def __init__(self, params: ParamsKZG):
+        self.params = params
+        self.left = MSMKZG(params)
+        self.right = MSMKZG(params)
+
+    def scale(self, e: int):
+        self.left.scale(e)
+        self.right.scale(e)
+
+    def add_msm(self, other: "DualMSM"):
+        self.left.add_msm(other.left)
+        self.right.add_msm(other.right)
+
+    def check(self) -> bool:
+        left = self.left.eval_affine()
+        right = self.right.eval_affine()
+        if self.params.s_secret is not None:
+            # insecure fast path: s*left + (-1)*right must be the identity
+            curve = self.params.curve
+            pts = [pt for pt in (left, right)]
+            if left is None and right is None:
+                return True
+            scalars = [self.params.s_secret, curve.Fr.p - 1]
+            out = msm(curve, curve.Fr.encode_ints(scalars),
+                      curve.from_affine_ints(pts))
+            return bool(curve.is_identity(out))
+        return bn.pairing_check([
+            (left, self.params.s_g2),
+            (right, ((self.params.g2[0]),
+                     tuple((-y) % bn.Q for y in self.params.g2[1]))),
+        ])
+
+
+class GuardKZG:
+    """kzg/strategy.rs:24-41."""
+
+    def __init__(self, msm: DualMSM):
+        self.msm = msm
+
+
+class SingleStrategyKZG:
+    def __init__(self, params: ParamsKZG):
+        self.params = params
+
+    def process(self, f) -> bool:
+        guard = f(DualMSM(self.params))
+        return guard.msm.check()
+
+
+class AccumulatorStrategyKZG:
+    def __init__(self, params: ParamsKZG, rng=None):
+        self.params = params
+        self.msm = DualMSM(params)
+        import random as _r
+        self.rng = rng or _r.SystemRandom()
+
+    def process(self, f):
+        self.msm.scale(self.rng.randrange(1, self.params.curve.Fr.p))
+        guard = f(self.msm)
+        self.msm = guard.msm
+        return self
+
+    def finalize(self) -> bool:
+        return self.msm.check()

@@ -1,0 +1,45 @@
+"""Device-mesh plumbing for multi-chip proving.
+
+The reference's only concurrency layer is a rayon pool
+(halo2_middleware/src/multicore.rs); the TPU-native equivalent is a
+`jax.sharding.Mesh` with GSPMD partitioning: column matrices are sharded on
+the row axis, and XLA inserts the collectives (all-to-alls for the NTT's
+strided reshapes, collective-permutes for rotations, psums for MSM bucket
+merges) from sharding annotations alone — the compute code is the same code
+that runs single-chip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+ROW_AXIS = "rows"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = ROW_AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def shard_columns(mesh: Mesh, arr, axis_in_array: int = 1):
+    """Place a (cols, n, NLIMBS) column matrix with rows sharded over the
+    mesh; other dims replicated."""
+    spec = [None] * arr.ndim
+    spec[axis_in_array] = ROW_AXIS
+    return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+
+
+def shard_rows(mesh: Mesh, arr):
+    """Shard leading axis (e.g. MSM points/scalars)."""
+    spec = [ROW_AXIS] + [None] * (arr.ndim - 1)
+    return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+
+
+def replicate(mesh: Mesh, arr):
+    return jax.device_put(arr, NamedSharding(mesh, P()))

@@ -9,10 +9,12 @@ from .kzg import (
     AccumulatorStrategyKZG,
 )
 from .gwc import ProverGWC, VerifierGWC
+from .shplonk import ProverSHPLONK, VerifierSHPLONK
 
 __all__ = [
     "ParamsKZG", "MSMKZG", "DualMSM", "GuardKZG", "SingleStrategyKZG",
     "AccumulatorStrategyKZG", "ProverGWC", "VerifierGWC",
+    "ProverSHPLONK", "VerifierSHPLONK",
     "Blind", "PolyRef", "ProverQuery", "VerifierQuery", "new_rng",
     "ParamsIPA", "MSMIPA", "GuardIPA",
     "create_opening_proof", "verify_opening_proof",

@@ -1,0 +1,224 @@
+"""KZG multiopen, SHPLONK variant
+(poly/kzg/multiopen/shplonk{,.rs,/prover.rs,/verifier.rs}).
+
+Commitments are grouped by their rotation *set*; one quotient commitment h1
+over all sets (v-folded), then a linearization polynomial opened at u via a
+second commitment h2 — proof size is 2 G1 points regardless of query count.
+The rotation-set order is independent of the numeric point values
+(shplonk.rs:99 NOTE), which this grouping preserves (first-appearance
+order of sets; super_point_set sorted).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+
+from ..poly.arith import (
+    kate_division, eval_polynomial, lagrange_interpolate_int,
+    eval_polynomial_int,
+)
+from .base import Blind, ProverQuery, VerifierQuery
+from .kzg import ParamsKZG, MSMKZG, DualMSM, GuardKZG
+
+
+def construct_intermediate_sets(queries, key_fn, eval_fn):
+    """Returns (rotation_sets, super_point_set) where rotation_sets is a
+    list of (payloads, points, evals_matrix):
+      payloads: representative queries per commitment (set order),
+      points: sorted point list of the set,
+      evals_matrix[ci][pi]: eval of commitment ci at points[pi]."""
+    comm_order = []
+    comm_rotations = {}
+    comm_payload = {}
+    evals = {}
+    super_points = set()
+    for q in queries:
+        key = key_fn(q)
+        super_points.add(q.point)
+        if key not in comm_rotations:
+            comm_order.append(key)
+            comm_rotations[key] = set()
+            comm_payload[key] = q
+        comm_rotations[key].add(q.point)
+        evals[(key, q.point)] = eval_fn(q)
+
+    set_order = []
+    set_commitments = {}
+    for key in comm_order:
+        pts = tuple(sorted(comm_rotations[key]))
+        if pts not in set_commitments:
+            set_order.append(pts)
+            set_commitments[pts] = []
+        set_commitments[pts].append(key)
+
+    rotation_sets = []
+    for pts in set_order:
+        keys = set_commitments[pts]
+        payloads = [comm_payload[k] for k in keys]
+        ev_matrix = [[evals[(k, pt)] for pt in pts] for k in keys]
+        rotation_sets.append((payloads, list(pts), ev_matrix))
+    return rotation_sets, sorted(super_points)
+
+
+def _eval_vanishing(p: int, roots: List[int], u: int) -> int:
+    acc = 1
+    for r in roots:
+        acc = acc * (u - r) % p
+    return acc
+
+
+class ProverSHPLONK:
+    QUERY_INSTANCE = False
+
+    def __init__(self, params: ParamsKZG):
+        self.params = params
+
+    def create_proof(self, rng, transcript, queries: List[ProverQuery]):
+        params = self.params
+        F = params.curve.Fr
+        p = F.p
+        n = params.n
+
+        y = transcript.squeeze_challenge()
+
+        rotation_sets, super_point_set = construct_intermediate_sets(
+            queries, key_fn=lambda q: id(q.poly_ref), eval_fn=lambda q: None)
+
+        # low-degree equivalents r_ij(X) via host interpolation over the
+        # decoded evaluations at the set's points
+        extended = []
+        for payloads, points, _ in rotation_sets:
+            comm_ext = []
+            for q in payloads:
+                poly = q.poly_ref.poly
+                evs = [int(ev) for ev in
+                       (eval_polynomial_int(
+                           p, F.decode_ints(poly), pt) for pt in points)]
+                r_coeffs = lagrange_interpolate_int(p, points, evs)
+                comm_ext.append((poly, r_coeffs))
+            extended.append((comm_ext, points))
+
+        v = transcript.squeeze_challenge()
+
+        # h_x = sum_i v^i * ( sum_j y^j (P_ij - R_ij) ) / Z_i
+        h_x = None
+        power_v = 1
+        for comm_ext, points in extended:
+            n_x = None
+            power_y = 1
+            for poly, r_coeffs in comm_ext:
+                r_pad = F.encode_ints(
+                    r_coeffs + [0] * (poly.shape[0] - len(r_coeffs)))
+                numer = F.sub(poly, r_pad)
+                term = F.mul(numer, F.encode_int(power_y))
+                n_x = term if n_x is None else F.add(n_x, term)
+                power_y = power_y * y % p
+            div = n_x
+            for pt in points:
+                div = kate_division(F, div, F.encode_int(pt))
+            div = jnp.pad(div, [(0, n - div.shape[0]), (0, 0)])
+            term = F.mul(div, F.encode_int(power_v))
+            h_x = term if h_x is None else F.add(h_x, term)
+            power_v = power_v * v % p
+
+        transcript.write_point(params.commit_affine(h_x))
+        u = transcript.squeeze_challenge()
+
+        # linearization l_x = sum_i v^i z_diff_i sum_j y^j (P_ij - r_ij(u))
+        l_x = None
+        z_diffs = []
+        power_v = 1
+        for comm_ext, points in extended:
+            diffs = [pt for pt in super_point_set if pt not in points]
+            z_i = _eval_vanishing(p, diffs, u)
+            z_diffs.append(z_i)
+            inner = None
+            power_y = 1
+            for poly, r_coeffs in comm_ext:
+                r_eval = eval_polynomial_int(p, r_coeffs, u)
+                term = F.sub(poly, F.encode_ints(
+                    [r_eval] + [0] * (poly.shape[0] - 1)))
+                term = F.mul(term, F.encode_int(power_y))
+                inner = term if inner is None else F.add(inner, term)
+                power_y = power_y * y % p
+            term = F.mul(inner, F.encode_int(z_i * power_v % p))
+            l_x = term if l_x is None else F.add(l_x, term)
+            power_v = power_v * v % p
+
+        zt_eval = _eval_vanishing(p, super_point_set, u)
+        l_x = F.sub(l_x, F.mul(h_x, F.encode_int(zt_eval)))
+
+        h2 = kate_division(F, l_x, F.encode_int(u))
+        z0_diff_inv = pow(z_diffs[0], p - 2, p)
+        h2 = F.mul(h2, F.encode_int(z0_diff_inv))
+        transcript.write_point(params.commit_affine(h2))
+
+
+class VerifierSHPLONK:
+    QUERY_INSTANCE = False
+
+    def __init__(self, params: ParamsKZG):
+        self.params = params
+
+    def verify_proof(self, transcript, queries: List[VerifierQuery],
+                     msm_accumulator: DualMSM) -> GuardKZG:
+        params = self.params
+        p = params.curve.Fr.p
+
+        rotation_sets, super_point_set = construct_intermediate_sets(
+            queries, key_fn=lambda q: q.commitment_key(),
+            eval_fn=lambda q: q.eval)
+
+        y = transcript.squeeze_challenge()
+        v = transcript.squeeze_challenge()
+        h1 = transcript.read_point()
+        u = transcript.squeeze_challenge()
+        h2 = transcript.read_point()
+
+        z_0_diff_inverse = z_0 = 0
+        outer_msm = MSMKZG(params)
+        r_outer_acc = 0
+        power_v = 1
+        for i, (payloads, points, ev_matrix) in enumerate(rotation_sets):
+            diffs = [pt for pt in super_point_set if pt not in points]
+            z_diff_i = _eval_vanishing(p, diffs, u)
+            if i == 0:
+                z_0 = _eval_vanishing(p, points, u)
+                z_0_diff_inverse = pow(z_diff_i, p - 2, p)
+                z_diff_i = 1
+            else:
+                z_diff_i = z_diff_i * z_0_diff_inverse % p
+
+            inner_msm = MSMKZG(params)
+            r_inner_acc = 0
+            power_y = 1
+            for q, evs in zip(payloads, ev_matrix):
+                r_x = lagrange_interpolate_int(p, points, evs)
+                r_inner_acc = (r_inner_acc +
+                               power_y * eval_polynomial_int(p, r_x, u)) % p
+                if q.is_msm:
+                    m = q.commitment.clone()
+                    m.scale(power_y)
+                    inner_msm.add_msm(m)
+                else:
+                    inner_msm.append_term(power_y, q.commitment)
+                power_y = power_y * y % p
+
+            inner_msm.scale(power_v * z_diff_i % p)
+            outer_msm.add_msm(inner_msm)
+            r_outer_acc = (r_outer_acc +
+                           power_v * r_inner_acc * z_diff_i) % p
+            power_v = power_v * v % p
+
+        g1 = (params.curve.gen_x, params.curve.gen_y)
+        neg_g1 = (g1[0], (-g1[1]) % params.curve.Fq.p)
+        outer_msm.append_term(r_outer_acc, neg_g1)
+        neg_h1 = (h1[0], (-h1[1]) % params.curve.Fq.p) if h1 else None
+        outer_msm.append_term(z_0, neg_h1)
+        outer_msm.append_term(u, h2)
+
+        msm_accumulator.left.append_term(1, h2)
+        msm_accumulator.right.add_msm(outer_msm)
+        return GuardKZG(msm_accumulator)

@@ -45,6 +45,15 @@ def _limbs_to_int(limbs) -> int:
     return out
 
 
+
+def _unroll() -> bool:
+    """Unroll limb loops on accelerators (fusion >> compile time there);
+    keep rolled scans on CPU where XLA compile time dominates test latency."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
 def _carry_propagate(acc):
     """Normalize relaxed limbs (< 2**32) to 16-bit limbs with full carry chain.
 
@@ -57,7 +66,7 @@ def _carry_propagate(acc):
         v = limb + carry
         return v >> LIMB_BITS, v & MASK
 
-    carry_out, out = jax.lax.scan(step, jnp.zeros_like(limbs[0]), limbs, unroll=True)
+    carry_out, out = jax.lax.scan(step, jnp.zeros_like(limbs[0]), limbs, unroll=_unroll())
     return jnp.moveaxis(out, 0, -1), carry_out
 
 
@@ -72,7 +81,7 @@ def _sub_limbs(a, b):
         v = x + jnp.uint32(1 << LIMB_BITS) - y - borrow
         return jnp.uint32(1) - (v >> LIMB_BITS), v & MASK
 
-    borrow, out = jax.lax.scan(step, jnp.zeros_like(al[0]), (al, bl), unroll=True)
+    borrow, out = jax.lax.scan(step, jnp.zeros_like(al[0]), (al, bl), unroll=_unroll())
     return jnp.moveaxis(out, 0, -1), borrow
 
 
@@ -244,7 +253,7 @@ class Field:
                 acc, window + contrib, j, axis=-1)
             return (acc, j + 1), None
 
-        (acc, _), _ = jax.lax.scan(prod_step, (acc, 0), bl, unroll=True)
+        (acc, _), _ = jax.lax.scan(prod_step, (acc, 0), bl, unroll=_unroll())
 
         # Montgomery reduction: clear the low NLIMBS limbs one at a time
         p_limbs = jnp.asarray(self.p_limbs)
@@ -269,7 +278,7 @@ class Field:
             acc = jax.lax.dynamic_update_slice_in_dim(acc, window, i, axis=-1)
             return (acc, i + 1), None
 
-        (acc, _), _ = jax.lax.scan(red_step, (acc, 0), None, length=NLIMBS, unroll=True)
+        (acc, _), _ = jax.lax.scan(red_step, (acc, 0), None, length=NLIMBS, unroll=_unroll())
 
         hi = acc[..., NLIMBS:]
         out, _ = _carry_propagate(hi)          # (..., NLIMBS+1); top limb is 0

@@ -146,3 +146,22 @@ def test_e2e_kzg_gwc_keccak(e2e):
                       transcript_cls=Keccak256Read,
                       multiopen_verifier_cls=VerifierGWC,
                       strategy_cls=SingleStrategyKZG)
+
+
+def test_e2e_kzg_shplonk(e2e):
+    from halo2_tpu.commit import ProverSHPLONK, VerifierSHPLONK
+    params, pk, circuit, c = e2e
+    proof = create_proof(params, pk, [circuit], [[[c]]], random.Random(5),
+                         multiopen_prover_cls=ProverSHPLONK)
+    assert verify(params, pk.vk, proof, [[[c]]],
+                  multiopen_verifier_cls=VerifierSHPLONK,
+                  strategy_cls=SingleStrategyKZG)
+    assert not verify(params, pk.vk, proof, [[[(c + 1) % F.p]]],
+                      multiopen_verifier_cls=VerifierSHPLONK,
+                      strategy_cls=SingleStrategyKZG)
+    # shplonk proofs are shorter than gwc (2 closing points)
+    bad = bytearray(proof)
+    bad[-1] ^= 1
+    assert not verify(params, pk.vk, bytes(bad), [[[c]]],
+                      multiopen_verifier_cls=VerifierSHPLONK,
+                      strategy_cls=SingleStrategyKZG)

@@ -1,4 +1,5 @@
-"""Headline benchmark: MSM throughput (the prover's dominant kernel).
+"""Headline benchmark: fixed-base MSM throughput (the prover's dominant
+kernel, run via the cached window-base engine exactly as commitments do).
 
 Prints ONE JSON line:
   {"metric": "msm_points_per_sec", "value": N, "unit": "points/s",
@@ -7,7 +8,9 @@ Prints ONE JSON line:
 vs_baseline compares against 1e6 points/s — the ballpark of the reference's
 rayon `best_multiexp` (halo2curves Pippenger) for 2^16 BN254 points on a
 multicore x86 host (the repo publishes no absolute numbers; see BASELINE.md).
-Secondary timings (NTT) go to stderr.
+Secondary timings (NTT) go to stderr.  Timings force a host fetch of the
+result (async dispatch through the remote-TPU tunnel otherwise returns
+immediately).
 """
 
 import json
@@ -18,7 +21,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/halo2_tpu/xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_POINTS_PER_SEC = 1e6
 
@@ -30,45 +39,43 @@ def log(*args):
 def main():
     from halo2_tpu.curves import BN254_G1 as curve
     from halo2_tpu.fields import BN254_FR
-    from halo2_tpu.msm import pippenger_msm
+    from halo2_tpu.msm.msm import CachedMSM
     from halo2_tpu.ntt import get_ntt
 
     log("devices:", jax.devices())
     F = curve.Fr
 
-    # ---- MSM: n = 2^16 random-ish points (distinct multiples of G)
     k = 16
     n = 1 << k
     log(f"building {n} points ...")
-    base = curve.from_affine_ints([(curve.gen_x, curve.gen_y)])[0]
-    pts = jnp.broadcast_to(base, (n, 3, 16))
-    # derive distinct points cheaply: P_i = [i+1]G via doubling ladder on
-    # index bits (vectorized scalar_mul with i as scalar)
+    base = curve.from_affine_ints([(curve.gen_x, curve.gen_y)] * n)
     idx = jnp.arange(1, n + 1, dtype=jnp.uint32)
-    scalars_small = jnp.zeros((n, 16), jnp.uint32).at[:, 0].set(idx & 0xFFFF)
-    scalars_small = scalars_small.at[:, 1].set(idx >> 16)
-    scalars_small_mont = F.to_mont(scalars_small)
+    scalars_small = jnp.zeros((n, 16), jnp.uint32) \
+        .at[:, 0].set(idx & 0xFFFF).at[:, 1].set(idx >> 16)
     t0 = time.time()
-    pts = curve.scalar_mul(pts, scalars_small_mont)
-    jax.block_until_ready(pts)
+    pts = curve.scalar_mul(base, F.to_mont(scalars_small))
+    np.asarray(pts[0])
     log(f"point gen: {time.time()-t0:.1f}s")
 
-    # pseudo-random full-width scalars from a cheap LCG in limb space
+    t0 = time.time()
+    engine = CachedMSM(curve, pts, c=8, block=64)
+    np.asarray(engine.wbases[0, 0])
+    log(f"window-base precompute: {time.time()-t0:.1f}s")
+
     key = jax.random.PRNGKey(0)
     limbs = jax.random.randint(key, (n, 16), 0, 1 << 16, dtype=jnp.int32)
     scalars = F.to_mont(limbs.astype(jnp.uint32))
 
-    c, block = 8, 256
     t0 = time.time()
-    out = pippenger_msm(curve, scalars, pts, c, block)
-    jax.block_until_ready(out)
-    log(f"msm compile+first run: {time.time()-t0:.1f}s")
+    out = engine(scalars)
+    np.asarray(out)
+    log(f"msm compile+first: {time.time()-t0:.1f}s")
 
     runs = 3
     t0 = time.time()
     for _ in range(runs):
-        out = pippenger_msm(curve, scalars, pts, c, block)
-    jax.block_until_ready(out)
+        out = engine(scalars)
+        np.asarray(out)
     msm_time = (time.time() - t0) / runs
     pps = n / msm_time
     log(f"msm: {msm_time*1e3:.1f} ms for 2^{k} points -> {pps:,.0f} points/s")
@@ -79,12 +86,12 @@ def main():
     a = F.ones((1 << ntt_k,))
     t0 = time.time()
     out = ntt.forward(a)
-    jax.block_until_ready(out)
+    np.asarray(out[0])
     log(f"ntt compile+first: {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(runs):
         out = ntt.forward(out)
-    jax.block_until_ready(out)
+        np.asarray(out[0])
     ntt_time = (time.time() - t0) / runs
     log(f"ntt 2^{ntt_k}: {ntt_time*1e3:.1f} ms -> "
         f"{(1 << ntt_k) / ntt_time:,.0f} elems/s")

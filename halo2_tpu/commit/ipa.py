@@ -25,6 +25,7 @@ from ..curves.curve import Curve
 from ..curves.point_ntt import g_to_lagrange
 from ..fields.field import NLIMBS
 from ..msm import msm
+from ..msm.msm import CachedMSM
 from ..ntt import powers
 from ..poly.arith import (
     compute_inner_product, eval_polynomial, lagrange_interpolate_int,
@@ -84,6 +85,7 @@ class ParamsIPA:
         self.g_lagrange = curve.from_affine_ints(g_lagrange_aff)
         self.w = curve.from_affine_ints([w])[0]
         self.u = curve.from_affine_ints([u])[0]
+        self._cached_msm = {}
 
     # -- cached construction -------------------------------------------
 
@@ -138,6 +140,13 @@ class ParamsIPA:
         n = poly.shape[0]
         scalars = jnp.concatenate(
             [poly, F.encode_ints([blind.value])], axis=0)
+        if n == self.n:
+            # cached fixed-base engine (g/g_lagrange + w appended)
+            key = id(bases)
+            if key not in self._cached_msm:
+                pts = jnp.concatenate([bases, self.w[None]], axis=0)
+                self._cached_msm[key] = CachedMSM(self.curve, pts)
+            return self._cached_msm[key](scalars)
         pts = jnp.concatenate([bases[:n], self.w[None]], axis=0)
         return msm(self.curve, scalars, pts)
 

@@ -23,6 +23,7 @@ from ..curves import BN254_G1
 from ..curves.curve import Curve
 from ..fields.field import NLIMBS
 from ..msm import msm
+from ..msm.msm import CachedMSM
 from ..compat import bn254_pairing as bn
 from .base import Blind
 
@@ -44,6 +45,7 @@ class ParamsKZG:
         self.g2 = g2            # ((x0,x1),(y0,y1)) ints
         self.s_g2 = s_g2
         self.s_secret = s_secret
+        self._cached_msm = {}
 
     # ------------------------------------------------------------------
 
@@ -141,12 +143,21 @@ class ParamsKZG:
 
     # -- commitments (blind is ignored: KZG relies on the random poly) ---
 
+    def _cached(self, name, bases):
+        if name not in self._cached_msm:
+            self._cached_msm[name] = CachedMSM(self.curve, bases)
+        return self._cached_msm[name]
+
     def commit(self, poly, blind: Blind = None):
         n = poly.shape[0]
+        if n == self.n:
+            return self._cached("g", self.g)(poly)
         return msm(self.curve, poly, self.g[:n])
 
     def commit_lagrange(self, values, blind: Blind = None):
         n = values.shape[0]
+        if n == self.n:
+            return self._cached("gl", self.g_lagrange)(values)
         return msm(self.curve, values, self.g_lagrange[:n])
 
     def commit_affine(self, poly, blind: Blind = None):

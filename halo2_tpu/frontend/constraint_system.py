@@ -165,9 +165,12 @@ class ConstraintSystem:
         return s
 
     def challenge_usable_after(self, phase: int) -> Challenge:
-        c = Challenge(self.num_challenges, phase + 1)
+        # the challenge's phase tag is the phase whose commitments seed it:
+        # it is squeezed after that phase's advice commitments and usable in
+        # all later phases (constraint_system.rs:889, prover.rs:482-488)
+        c = Challenge(self.num_challenges, phase)
         self.num_challenges += 1
-        self.challenge_phase.append(phase + 1)
+        self.challenge_phase.append(phase)
         return c
 
     def lookup_table_column(self) -> TableColumn:
@@ -262,8 +265,9 @@ class ConstraintSystem:
     # -- degree accounting (backend circuit.rs:100-180) ------------------
 
     def degree(self) -> int:
-        degree = self.permutation.required_degree() if \
-            self.permutation.columns else 1
+        # the permutation argument's degree-3 floor applies unconditionally
+        # (backend circuit.rs:100-139)
+        degree = self.permutation.required_degree()
         for lk in self.lookups:
             degree = max(degree, lk.required_degree())
         for sh in self.shuffles:

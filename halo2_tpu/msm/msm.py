@@ -177,6 +177,145 @@ def pippenger_msm(curve: Curve, scalars_mont, points, c: int = 8,
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def window_bases(curve: Curve, points, c: int = 8):
+    """Precompute [2^(c*w)]P_i for every window w — the descriptor-caching
+    seam of the reference's ZAL (halo2_middleware/src/zal.rs:78-102): fixed
+    commitment bases (SRS) are expanded once, after which every MSM needs NO
+    sequential doubling chain at all.
+
+    Returns (n_windows, n, 3, NLIMBS)."""
+    n_windows = 256 // c
+
+    def body(cur, _):
+        nxt = jax.lax.fori_loop(0, c, lambda i, a: curve.double(a), cur)
+        return nxt, cur
+
+    _, stacked = jax.lax.scan(body, points, None, length=n_windows)
+    return stacked
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def pippenger_msm_windowed(curve: Curve, scalars_mont, wbases, c: int = 8,
+                           block: int = 64):
+    """MSM against precomputed window bases: all windows' digits form ONE
+    flat (digit, point) list over 2^c buckets, so the sequential EC-op chain
+    is just `block` scan steps + O(log) combine rounds — independent of n.
+
+    scalars_mont: (n, NLIMBS); wbases: (256/c, n, 3, NLIMBS).
+    """
+    assert 16 % c == 0
+    Fr = curve.Fr
+    n = scalars_mont.shape[0]
+    n_windows = 256 // c
+    assert wbases.shape[0] == n_windows and wbases.shape[1] >= n
+    limbs = Fr.from_mont(scalars_mont)           # canonical 16-bit limbs
+    digits_per_limb = 16 // c
+
+    # digits (n_windows, n): window w takes bits [w*c, (w+1)*c)
+    w_idx = jnp.arange(n_windows)
+    limb_idx = w_idx // digits_per_limb
+    shift = (w_idx % digits_per_limb) * c
+    digits = (limbs[:, limb_idx].astype(jnp.int32) >> shift[None, :]) \
+        & ((1 << c) - 1)                         # (n, n_windows)
+    flat_d = digits.T.reshape(-1)                # (n_windows * n,)
+    flat_p = wbases[:, :n].reshape(-1, 3, NLIMBS)
+
+    total = flat_d.shape[0]
+    nb = -(-total // block)
+    pad = nb * block - total
+    if pad:
+        flat_d = jnp.concatenate([flat_d, jnp.zeros((pad,), jnp.int32)])
+        flat_p = jnp.concatenate([flat_p, curve.identity((pad,))], axis=0)
+
+    order = jnp.argsort(flat_d, stable=True)
+    ds = flat_d[order].reshape(nb, block)
+    Ps = jnp.take(flat_p, order, axis=0).reshape(nb, block, 3, NLIMBS)
+
+    ds_t = jnp.moveaxis(ds, 1, 0)
+    Ps_t = jnp.moveaxis(Ps, 1, 0)
+
+    def step(carry, inp):
+        seg, acc = carry
+        dt, pt = inp
+        fresh = dt != seg
+        emit_digit = jnp.where(fresh, seg, -1)
+        emit_point = acc
+        acc = jnp.where(fresh[..., None, None], pt, curve.add(acc, pt))
+        return (dt, acc), (emit_digit, emit_point)
+
+    init = (ds_t[0], curve.identity((nb,)))
+    (fin_seg, fin_acc), (e_digit, e_point) = jax.lax.scan(
+        step, init, (ds_t, Ps_t))
+
+    e_digit = jnp.concatenate(
+        [jnp.moveaxis(e_digit, 0, 1), fin_seg[:, None]], axis=1).reshape(-1)
+    e_point = jnp.concatenate(
+        [jnp.moveaxis(e_point, 0, 1), fin_acc[:, None]], axis=1).reshape(
+            -1, 3, NLIMBS)
+
+    m_max = nb + (1 << c) + 2
+    perm = jnp.argsort(e_digit < 0, stable=True)[:m_max]
+    pd = e_digit[perm]
+    pp = e_point[perm]
+    m = pd.shape[0]
+
+    flags = jnp.concatenate([jnp.array([True]), pd[1:] != pd[:-1]])
+    rows = jnp.arange(m)
+
+    def seg_round(r, carry):
+        flags, vals = carry
+        d = jnp.int32(1) << r
+        valid = rows >= d
+        pf = jnp.where(valid, jnp.roll(flags, d), False)
+        pv = jnp.where(valid[:, None, None], jnp.roll(vals, d, axis=0),
+                       curve.identity((m,)))
+        added = curve.add(pv, vals)
+        vals = jnp.where(flags[..., None, None], vals, added)
+        return flags | pf, vals
+
+    _, summed = jax.lax.fori_loop(0, max((m - 1).bit_length(), 1),
+                                  seg_round, (flags, pp))
+    is_end = jnp.concatenate([pd[:-1] != pd[1:], jnp.array([True])])
+
+    n_buckets = 1 << c
+    idx = jnp.where(is_end & (pd > 0), pd, n_buckets)
+    buckets = curve.identity((n_buckets + 1,))
+    buckets = buckets.at[idx].set(summed)[1:n_buckets]
+
+    def suffix_sums(arr):
+        kk = arr.shape[0]
+        rws = jnp.arange(kk)
+
+        def round_(r, a):
+            d = jnp.int32(1) << r
+            nxt = jnp.where((rws < kk - d)[:, None, None],
+                            jnp.roll(a, -d, axis=0), curve.identity((kk,)))
+            return curve.add(a, nxt)
+
+        return jax.lax.fori_loop(0, max((kk - 1).bit_length(), 1),
+                                 round_, arr)
+
+    return suffix_sums(suffix_sums(buckets))[0]
+
+
+class CachedMSM:
+    """Fixed-base MSM engine with resident window bases (the `MsmAccel`
+    descriptor API equivalent)."""
+
+    def __init__(self, curve: Curve, points, c: int = 8, block: int = 64):
+        self.curve = curve
+        self.c = c
+        self.block = block
+        self.n = points.shape[0]
+        self.wbases = window_bases(curve, points, c)
+
+    def __call__(self, scalars_mont):
+        n = scalars_mont.shape[0]
+        return pippenger_msm_windowed(
+            self.curve, scalars_mont, self.wbases[:, :n], self.c, self.block)
+
+
 def msm(curve: Curve, scalars_mont, points, c: int | None = None):
     """Dispatching MSM (the `best_multiexp` equivalent)."""
     n = int(scalars_mont.shape[0])

@@ -66,3 +66,132 @@ class SimpleCircuit(Circuit):
         absq = mul("ab*ab", ab, ab)
         c = mul("c", const, absq)
         layouter.constrain_instance(c.cell, config["instance"], 0)
+
+
+class LookupCircuit(Circuit):
+    """A value column range-checked against a small fixed table via a lookup
+    argument (dev_lookup.rs / lookup examples shape)."""
+
+    TABLE_BITS = 4
+
+    def __init__(self, values=None, n_rows=None):
+        # circuit STRUCTURE (row count, selectors) must be witness-independent
+        self.values = values
+        self.n_rows = n_rows if n_rows is not None else len(values or [])
+
+    def without_witnesses(self):
+        return LookupCircuit(None, self.n_rows)
+
+    def configure(self, meta: ConstraintSystem):
+        value = meta.advice_column()
+        table = meta.lookup_table_column()
+        q = meta.complex_selector()
+
+        def lookup_map(cells):
+            qv = cells.query_selector(q)
+            v = cells.query_advice(value, Rotation.cur())
+            # gate the looked-up expression with the selector: rows where q=0
+            # look up 0 (which is in the table)
+            return [(qv * v, table)]
+
+        meta.lookup("range", lookup_map)
+        return {"value": value, "table": table, "q": q}
+
+    def synthesize(self, config, layouter: Layouter):
+        n_table = 1 << self.TABLE_BITS
+
+        def fill_table(region):
+            for i in range(n_table):
+                region.assign_fixed(config["table"].inner, i, i)
+
+        layouter.assign_table("table", fill_table)
+
+        def fill_values(region):
+            for i in range(self.n_rows):
+                config["q"].enable(region, i)
+                v = (Value.known(self.values[i]) if self.values is not None
+                     else Value.unknown())
+                region.assign_advice(config["value"], i, v)
+
+        layouter.assign_region("values", fill_values)
+
+
+class ShuffleCircuit(Circuit):
+    """Two advice columns constrained to be permutations of each other
+    (shuffle_api.rs shape)."""
+
+    def __init__(self, original=None, shuffled=None, n_rows=None):
+        self.original = original
+        self.shuffled = shuffled
+        self.n_rows = n_rows if n_rows is not None else len(original or [])
+
+    def without_witnesses(self):
+        return ShuffleCircuit(None, None, self.n_rows)
+
+    def configure(self, meta: ConstraintSystem):
+        a = meta.advice_column()
+        b = meta.advice_column()
+        s = meta.complex_selector()
+
+        def shuffle_map(cells):
+            sv = cells.query_selector(s)
+            av = cells.query_advice(a, Rotation.cur())
+            bv = cells.query_advice(b, Rotation.cur())
+            return [(sv * av, sv * bv)]
+
+        meta.shuffle("shuffle", shuffle_map)
+        return {"a": a, "b": b, "s": s}
+
+    def synthesize(self, config, layouter: Layouter):
+        def fill(region):
+            for i in range(self.n_rows):
+                config["s"].enable(region, i)
+                x = (Value.known(self.original[i]) if self.original is not None
+                     else Value.unknown())
+                y = (Value.known(self.shuffled[i]) if self.shuffled is not None
+                     else Value.unknown())
+                region.assign_advice(config["a"], i, x)
+                region.assign_advice(config["b"], i, y)
+
+        layouter.assign_region("rows", fill)
+
+
+class PhaseCircuit(Circuit):
+    """Two-phase circuit with a challenge: phase-2 column must equal
+    phase-1 column times the challenge (multi-phase plumbing test)."""
+
+    def __init__(self, values=None, n_rows=None):
+        self.values = values
+        self.n_rows = n_rows if n_rows is not None else len(values or [])
+
+    def without_witnesses(self):
+        return PhaseCircuit(None, self.n_rows)
+
+    def configure(self, meta: ConstraintSystem):
+        a = meta.advice_column_in(0)
+        theta = meta.challenge_usable_after(0)
+        b = meta.advice_column_in(1)
+        q = meta.selector()
+
+        def gate(cells):
+            qv = cells.query_selector(q)
+            av = cells.query_advice(a, Rotation.cur())
+            bv = cells.query_advice(b, Rotation.cur())
+            ch = cells.query_challenge(theta)
+            return [qv * (bv - av * ch)]
+
+        meta.create_gate("phase", gate)
+        return {"a": a, "b": b, "q": q, "theta": theta}
+
+    def synthesize(self, config, layouter: Layouter):
+        theta = layouter.get_challenge(config["theta"])
+
+        def fill(region):
+            for i in range(self.n_rows):
+                config["q"].enable(region, i)
+                v = (Value.known(self.values[i]) if self.values is not None
+                     else Value.unknown())
+                av = region.assign_advice(config["a"], i, v)
+                region.assign_advice(config["b"], i, av.value() * theta)
+
+        layouter.assign_region("rows", fill)

@@ -160,3 +160,21 @@ def test_point_serde(curve):
         assert len(b) == 32
         assert curve.point_from_bytes(b) == pt
     assert curve.point_from_bytes(curve.point_to_bytes(None)) is None
+
+
+def test_windowed_msm_matches_naive():
+    from halo2_tpu.msm.msm import CachedMSM
+    curve = VESTA
+    rng = random.Random(21)
+    n = 40
+    g_aff = (curve.gen_x, curve.gen_y)
+    pts_aff = [py_mul(curve, g_aff, rng.randrange(1, 500)) for _ in range(n)]
+    pts_aff[3] = None
+    scalars = [rng.randrange(curve.Fr.p) for _ in range(n)]
+    scalars[8] = 0
+    enc_s = curve.Fr.encode_ints(scalars)
+    enc_p = curve.from_affine_ints(pts_aff)
+    engine = CachedMSM(curve, enc_p, c=8, block=16)
+    fast = engine(enc_s)
+    slow = naive_msm(curve, enc_s, enc_p)
+    assert bool(curve.eq(fast, slow))

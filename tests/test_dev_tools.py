@@ -1,0 +1,104 @@
+"""Dev tooling: cost model, gates inspector, tracing planner, batch verifier,
+vk/pk serde."""
+
+import random
+
+import pytest
+
+from halo2_tpu.api import keygen, create_proof, verify
+from halo2_tpu.commit import ParamsIPA
+from halo2_tpu.compat import vk_write, vk_read, pk_write, pk_read
+from halo2_tpu.curves import VESTA
+from halo2_tpu.dev import (
+    CircuitCost, CircuitGates, TracingFloorPlanner, MockProver,
+)
+from halo2_tpu.fields import PASTA_FP
+from halo2_tpu.frontend import Value, SimpleFloorPlanner
+from halo2_tpu.plonk import BatchVerifier
+
+from circuits import SimpleCircuit
+
+F = PASTA_FP
+K = 5
+
+
+def make():
+    a, b, constant = 2, 3, 7
+    c = (constant * a * a * b * b) % F.p
+    return SimpleCircuit(constant, Value.known(a), Value.known(b)), c
+
+
+def test_cost_model():
+    circuit, _ = make()
+    cost = CircuitCost.measure(K, circuit)
+    assert cost.advice_columns == 2
+    assert cost.instance_columns == 1
+    assert cost.gates == 1
+    assert cost.permutation_columns == 4   # instance + constant + 2 advice
+    for scheme in ("ipa", "kzg-gwc", "kzg-shplonk"):
+        assert cost.proof_size(scheme) > 0
+    assert "proof_size" in cost.to_json()
+
+
+def test_circuit_gates():
+    circuit, _ = make()
+    gates = CircuitGates.collect(circuit)
+    text = str(gates)
+    assert "mul" in text and "advice[0]" in text
+    qs = gates.queries()
+    assert len(qs["advice"]) == 3
+
+
+def test_tracing_floor_planner():
+    circuit, c = make()
+    events = []
+    circuit.floor_planner = TracingFloorPlanner(
+        SimpleFloorPlanner, log_fn=events.append)
+    prover = MockProver.run(F, K, circuit, [[c]])
+    assert prover.verify() == []
+    assert any(e.startswith("enter_region") for e in events)
+    assert any(e.startswith("assign_advice") for e in events)
+    assert any(e.startswith("copy") for e in events)
+    SimpleCircuit.floor_planner = SimpleFloorPlanner  # restore
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = ParamsIPA.new(VESTA, K)
+    circuit, c = make()
+    pk = keygen(F, params, K, circuit)
+    return params, pk, circuit, c
+
+
+def test_batch_verifier(setup):
+    params, pk, circuit, c = setup
+    p1 = create_proof(params, pk, [circuit], [[[c]]], random.Random(11))
+    p2 = create_proof(params, pk, [circuit], [[[c]]], random.Random(12))
+    batch = BatchVerifier(random.Random(0))
+    batch.add_proof([[[c]]], p1)
+    batch.add_proof([[[c]]], p2)
+    assert batch.finalize(params, pk.vk)
+
+    bad = bytearray(p2)
+    bad[50] ^= 1
+    batch2 = BatchVerifier(random.Random(0))
+    batch2.add_proof([[[c]]], p1)
+    batch2.add_proof([[[c]]], bytes(bad))
+    assert not batch2.finalize(params, pk.vk)
+
+
+def test_vk_pk_serde(setup):
+    params, pk, circuit, c = setup
+    blob = vk_write(pk.vk)
+    vk2 = vk_read(F, params, K, circuit, blob)
+    assert vk2.transcript_repr == pk.vk.transcript_repr
+
+    pkb = pk_write(pk)
+    pk2 = pk_read(F, params, K, circuit, pkb)
+    assert pk2.vk.transcript_repr == pk.vk.transcript_repr
+
+    # corrupted hash must be rejected
+    bad = bytearray(blob)
+    bad[-1] ^= 1
+    with pytest.raises(ValueError):
+        vk_read(F, params, K, circuit, bytes(bad))

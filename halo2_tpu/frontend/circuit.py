@@ -410,9 +410,11 @@ def compile_circuit(F, k: int, circuit: Circuit,
                     compress_selectors: bool = True):
     """Frontend compilation (frontend/src/circuit.rs:40-112).
 
-    Returns (CompiledCircuit, config, cs).  Currently both selector modes use
-    direct selector->fixed conversion; degree-aware compression is tracked as
-    a follow-up (compress_selectors.rs).
+    Returns (CompiledCircuit, config, cs).  With compress_selectors=True,
+    mutually-exclusive simple selectors are packed into shared fixed columns
+    (compress_selectors.rs); otherwise each selector becomes its own 0/1
+    fixed column.  vk and pk must be generated with the same setting
+    (halo2_proofs/src/plonk/keygen.rs:30-52).
     """
     cs = ConstraintSystem()
     config = circuit.configure(cs)
@@ -424,7 +426,11 @@ def compile_circuit(F, k: int, circuit: Circuit,
     circuit.floor_planner.synthesize(
         assembly, circuit.without_witnesses(), config, cs.constants)
 
-    selector_polys = cs.directly_convert_selectors_to_fixed(assembly.selectors)
+    if compress_selectors:
+        selector_polys = cs.compress_selectors(assembly.selectors)
+    else:
+        selector_polys = cs.directly_convert_selectors_to_fixed(
+            assembly.selectors)
     fixed = [col[:] for col in assembly.fixed]
     fixed.extend(selector_polys)
 

@@ -17,6 +17,22 @@ from .expression import (
 )
 
 
+def _simple_selectors_of(expr: Expression):
+    """All simple selectors appearing in `expr` (the reference's
+    extract_simple_selector, expression.rs, tolerant to multiple)."""
+    out = []
+
+    def walk(e: Expression):
+        if e.tag == "selector" and e.value.is_simple:
+            out.append(e.value)
+        for child in (e.left, e.right):
+            if child is not None:
+                walk(child)
+
+    walk(expr)
+    return out
+
+
 @dataclass(frozen=True)
 class TableColumn:
     """A fixed column wrapped for lookup-table use only (soundness guard,
@@ -289,7 +305,71 @@ class ConstraintSystem:
         return sorted(set([0] + self.advice_column_phase +
                           self.challenge_phase))
 
-    # -- selector conversion (constraint_system.rs:662) ------------------
+    # -- selector conversion (constraint_system.rs:595-708) --------------
+
+    def _replace_selectors(self, replacements):
+        """Substitute selector leaves by expression, everywhere
+        (constraint_system.rs replace_selectors_with_fixed)."""
+
+        def replace(expr: Expression) -> Expression:
+            if expr.tag == "selector":
+                return replacements[expr.value.index]
+            return expr
+
+        for gate in self.gates:
+            gate.polys = [p.map_queries(replace) for p in gate.polys]
+        for lk in self.lookups:
+            lk.input_expressions = [e.map_queries(replace)
+                                    for e in lk.input_expressions]
+            lk.table_expressions = [e.map_queries(replace)
+                                    for e in lk.table_expressions]
+        for sh in self.shuffles:
+            sh.input_expressions = [e.map_queries(replace)
+                                    for e in sh.input_expressions]
+            sh.shuffle_expressions = [e.map_queries(replace)
+                                      for e in sh.shuffle_expressions]
+        self.num_selectors = 0
+
+    def compress_selectors(self, selector_values):
+        """Degree-budgeted packing of mutually-exclusive simple selectors
+        into shared fixed columns (constraint_system.rs:595-659).  Returns
+        the new fixed-column value lists to append; mutates self."""
+        from .compress_selectors import SelectorDescription, process
+
+        assert len(selector_values) == self.num_selectors
+        # Max degree of any gate using each simple selector; complex or
+        # unused selectors stay at 0 (constraint_system.rs:600-609).
+        degrees = [0] * self.num_selectors
+        for gate in self.gates:
+            for poly in gate.polys:
+                for sel in _simple_selectors_of(poly):
+                    degrees[sel.index] = max(degrees[sel.index],
+                                             poly.degree())
+        max_degree = self.degree()
+
+        new_columns: List[Column] = []
+
+        def allocate_fixed_column() -> Expression:
+            col = self.fixed_column()
+            new_columns.append(col)
+            self._record_query(col, Rotation(0))
+            return Expression.query(col, Rotation(0))
+
+        descriptions = [
+            SelectorDescription(i, list(activations), degrees[i])
+            for i, activations in enumerate(selector_values)
+        ]
+        polys, assignments = process(descriptions, max_degree,
+                                     allocate_fixed_column)
+
+        replacements = [None] * len(assignments)
+        selector_map = [None] * len(assignments)
+        for a in assignments:
+            replacements[a.selector] = a.expression
+            selector_map[a.selector] = new_columns[a.combination_index]
+        self.selector_map = selector_map
+        self._replace_selectors(replacements)
+        return polys
 
     def directly_convert_selectors_to_fixed(self, selector_values):
         """Replace every selector with a dedicated fixed column holding its

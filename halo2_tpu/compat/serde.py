@@ -15,8 +15,10 @@ from enum import Enum
 from typing import List
 
 from ..fields.field import NLIMBS
-from ..frontend.circuit import compile_circuit
-from ..plonk.keygen import keygen as backend_keygen, VerifyingKey, ProvingKey
+
+# NOTE: frontend/plonk imports are deferred into the functions below —
+# commit/kzg.py imports this package (for the pairing) while plonk is still
+# initializing, so importing plonk.keygen at module scope is a cycle.
 
 VERSION = 0x04   # mirrors plonk.rs vk VERSION
 
@@ -31,7 +33,7 @@ def _write_point(curve, pt) -> bytes:
     return curve.point_to_bytes(pt)
 
 
-def vk_write(vk: VerifyingKey) -> bytes:
+def vk_write(vk) -> bytes:
     curve = vk.curve
     out = bytearray()
     out += bytes([VERSION])
@@ -46,9 +48,11 @@ def vk_write(vk: VerifyingKey) -> bytes:
     return bytes(out)
 
 
-def vk_read(F, params, k: int, circuit, data: bytes) -> VerifyingKey:
+def vk_read(F, params, k: int, circuit, data: bytes):
     """Recompiles `circuit` to recover the constraint system, then checks the
     stored commitments/hash against a fresh keygen (structure validation)."""
+    from ..frontend.circuit import compile_circuit
+    from ..plonk.keygen import keygen as backend_keygen
     curve = params.curve
     if data[0] != VERSION:
         raise ValueError(f"unexpected vk version {data[0]}")
@@ -79,7 +83,7 @@ def vk_read(F, params, k: int, circuit, data: bytes) -> VerifyingKey:
     return vk
 
 
-def pk_write(pk: ProvingKey) -> bytes:
+def pk_write(pk) -> bytes:
     """vk + fixed column values + sigma values (polys/cosets recomputed)."""
     F = pk.vk.F
     out = bytearray(vk_write(pk.vk))
@@ -98,9 +102,11 @@ def pk_write(pk: ProvingKey) -> bytes:
     return bytes(out)
 
 
-def pk_read(F, params, k: int, circuit, data: bytes) -> ProvingKey:
+def pk_read(F, params, k: int, circuit, data: bytes):
     """Reference pk_read recompiles the circuit (halo2_proofs/src/plonk.rs:
     45-86); we do the same and validate the embedded vk header."""
+    from ..frontend.circuit import compile_circuit
+    from ..plonk.keygen import keygen as backend_keygen
     pk = backend_keygen(F, params, compile_circuit(F, k, circuit)[0], k)
     # validate against the stored vk header
     vk_read(F, params, k, circuit, data)

@@ -11,6 +11,7 @@ from .circuit import (
     SynthesisError, NotEnoughRowsAvailable,
     CompiledCircuit, Preprocessing, compile_circuit, WitnessCalculator,
 )
+from .floor_planner_v1 import V1FloorPlanner
 
 __all__ = [
     "ADVICE", "FIXED", "INSTANCE", "FIRST_PHASE", "SECOND_PHASE",
@@ -20,4 +21,5 @@ __all__ = [
     "Circuit", "Value", "Cell", "AssignedCell", "Region", "Layouter",
     "SimpleFloorPlanner", "SynthesisError", "NotEnoughRowsAvailable",
     "CompiledCircuit", "Preprocessing", "compile_circuit", "WitnessCalculator",
+    "V1FloorPlanner",
 ]

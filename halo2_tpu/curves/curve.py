@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields.field import Field, NLIMBS
+from ..fields.field import Field, NLIMBS, _use_pallas
 
 _jit = functools.partial(jax.jit, static_argnums=0)
 
@@ -85,6 +85,9 @@ class Curve:
     @_jit
     def double(self, P):
         """Jacobian doubling for a = 0; identity-safe (Z stays 0)."""
+        if _use_pallas():
+            from . import pallas_ec
+            return pallas_ec.ec_double(self.Fq, P)
         F = self.Fq
         X, Y, Z = P[..., 0, :], P[..., 1, :], P[..., 2, :]
         A = F.square(X)
@@ -103,6 +106,9 @@ class Curve:
     @_jit
     def add(self, P, Q):
         """Complete Jacobian addition: handles identity, P == Q, P == -Q."""
+        if _use_pallas():
+            from . import pallas_ec
+            return pallas_ec.ec_add(self.Fq, P, Q)
         F = self.Fq
         X1, Y1, Z1 = P[..., 0, :], P[..., 1, :], P[..., 2, :]
         X2, Y2, Z2 = Q[..., 0, :], Q[..., 1, :], Q[..., 2, :]

@@ -57,22 +57,41 @@ def _keccak_f(state):
     return state
 
 
+def _native_keccak():
+    try:
+        from .. import native
+        return native if native.get_lib() is not None else None
+    except Exception:
+        return None
+
+
 class Keccak256:
-    """Incremental Keccak-256 with copy() support (mirrors sha3::Keccak256)."""
+    """Incremental Keccak-256 with copy() support (mirrors sha3::Keccak256).
+
+    When the native C++ library is available, the full message is buffered
+    and hashed in one native call (transcripts are small); otherwise the
+    pure-Python sponge runs incrementally."""
 
     RATE = 136
 
     def __init__(self):
         self._state = [[0] * 5 for _ in range(5)]
         self._buf = b""
+        self._native = _native_keccak()
+        self._data = b"" if self._native else None
 
     def copy(self) -> "Keccak256":
         k = Keccak256.__new__(Keccak256)
         k._state = [row[:] for row in self._state]
         k._buf = self._buf
+        k._native = self._native
+        k._data = self._data
         return k
 
     def update(self, data: bytes) -> "Keccak256":
+        if self._native is not None:
+            self._data += bytes(data)
+            return self
         self._buf += bytes(data)
         while len(self._buf) >= self.RATE:
             self._absorb(self._buf[: self.RATE])
@@ -87,6 +106,8 @@ class Keccak256:
         self._state = _keccak_f(self._state)
 
     def digest(self) -> bytes:
+        if self._native is not None:
+            return self._native.keccak256(self._data)
         pad_len = self.RATE - len(self._buf)
         if pad_len == 1:
             pad = b"\x81"

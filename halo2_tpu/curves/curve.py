@@ -1,12 +1,16 @@
 """Batched elliptic-curve arithmetic (short Weierstrass, a = 0).
 
 Replaces the reference's `halo2curves` point types (`CurveAffine`/`CurveExt`)
-with array-of-points Jacobian arithmetic: a batch of points is one array of
-shape (..., 3, NLIMBS) — X, Y, Z coordinate rows in Montgomery form — and
-add/double are branchless (edge cases resolved with lane-wise selects), which
-is what the TPU VPU wants.
+with array-of-points arithmetic: a batch of points is one array of shape
+(..., 3, NLIMBS) — X, Y, Z coordinate rows in Montgomery form — in
+**homogeneous projective coordinates** with the Renes–Costello–Batina
+*complete* addition formulas for j-invariant-0 curves (eprint 2015/1060,
+Algs 7–9).  Complete means one straight-line formula covers identity,
+doubling, and inverse cases with NO lane-wise branching — exactly what the
+TPU VPU wants — and is valid because every supported curve group (BN254 G1,
+Pallas, Vesta) has odd prime order.
 
-The identity is encoded as Z = 0 (X = Y = 1), matching Jacobian convention.
+The identity is (0 : 1 : 0).
 """
 
 from __future__ import annotations
@@ -23,13 +27,14 @@ _jit = functools.partial(jax.jit, static_argnums=0)
 
 
 class Curve:
-    """y^2 = x^3 + b over base field Fq, with scalar field Fr."""
+    """y^2 = x^3 + b over base field Fq, with scalar field Fr (odd order)."""
 
     def __init__(self, name: str, Fq: Field, Fr: Field, b: int, gen_xy):
         self.name = name
         self.Fq = Fq
         self.Fr = Fr
         self.b = b
+        self.b3 = (3 * b) % Fq.p
         self.gen_x, self.gen_y = gen_xy
         assert (self.gen_y ** 2 - self.gen_x ** 3 - b) % Fq.p == 0
 
@@ -39,9 +44,9 @@ class Curve:
 
     def identity(self, shape=()) -> jnp.ndarray:
         F = self.Fq
-        x = F.ones(tuple(shape))
-        z = F.zeros(tuple(shape))
-        return jnp.stack([x, x, z], axis=-2)
+        zero = F.zeros(tuple(shape))
+        one = F.ones(tuple(shape))
+        return jnp.stack([zero, one, zero], axis=-2)
 
     def generator(self, shape=()) -> jnp.ndarray:
         return self.from_affine_ints([(self.gen_x, self.gen_y)]).reshape(
@@ -55,7 +60,7 @@ class Curve:
         xs, ys, zs = [], [], []
         for pt in pts:
             if pt is None:
-                xs.append(1); ys.append(1); zs.append(0)
+                xs.append(0); ys.append(1); zs.append(0)
             else:
                 x, y = pt
                 xs.append(x % F.p); ys.append(y % F.p); zs.append(1)
@@ -75,77 +80,114 @@ class Curve:
                 out.append(None)
             else:
                 zi = pow(z, F.p - 2, F.p)
-                out.append(((x * zi * zi) % F.p, (y * zi * zi * zi) % F.p))
+                out.append(((x * zi) % F.p, (y * zi) % F.p))
         return out
 
     # ------------------------------------------------------------------
-    # group law (branchless, batched)
+    # group law (complete, branchless, batched)
     # ------------------------------------------------------------------
 
-    @_jit
-    def double(self, P):
-        """Jacobian doubling for a = 0; identity-safe (Z stays 0)."""
-        if _use_pallas():
-            from . import pallas_ec
-            return pallas_ec.ec_double(self.Fq, P)
-        F = self.Fq
-        X, Y, Z = P[..., 0, :], P[..., 1, :], P[..., 2, :]
-        A = F.square(X)
-        B = F.square(Y)
-        C = F.square(B)
-        t = F.square(F.add(X, B))
-        D = F.double(F.sub(F.sub(t, A), C))
-        E = F.add(F.add(A, A), A)
-        Fv = F.square(E)
-        X3 = F.sub(Fv, F.double(D))
-        eightC = F.double(F.double(F.double(C)))
-        Y3 = F.sub(F.mul(E, F.sub(D, X3)), eightC)
-        Z3 = F.double(F.mul(Y, Z))
-        return jnp.stack([X3, Y3, Z3], axis=-2)
+    def _mul_b3(self, F, x):
+        """Multiply by the small constant 3b via an addition chain."""
+        b3 = self.b3
+        if b3 == 9:          # bn254 G1 (b = 3): 9x = 8x + x
+            x2 = F.add(x, x)
+            x4 = F.add(x2, x2)
+            x8 = F.add(x4, x4)
+            return F.add(x8, x)
+        if b3 == 15:         # pasta (b = 5): 15x = 16x - x
+            x2 = F.add(x, x)
+            x4 = F.add(x2, x2)
+            x8 = F.add(x4, x4)
+            return F.sub(F.add(x8, x8), x)
+        return F.mul(x, F.full(x.shape[:-1], b3))
 
     @_jit
     def add(self, P, Q):
-        """Complete Jacobian addition: handles identity, P == Q, P == -Q."""
+        """Complete addition (Renes–Costello Alg 7, a = 0)."""
         if _use_pallas():
             from . import pallas_ec
-            return pallas_ec.ec_add(self.Fq, P, Q)
+            return pallas_ec.ec_add(self, P, Q)
         F = self.Fq
         X1, Y1, Z1 = P[..., 0, :], P[..., 1, :], P[..., 2, :]
         X2, Y2, Z2 = Q[..., 0, :], Q[..., 1, :], Q[..., 2, :]
+        t0 = F.mul(X1, X2)
+        t1 = F.mul(Y1, Y2)
+        t2 = F.mul(Z1, Z2)
+        t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+        t3 = F.sub(t3, F.add(t0, t1))           # X1Y2 + X2Y1
+        t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+        t4 = F.sub(t4, F.add(t1, t2))           # Y1Z2 + Y2Z1
+        Y3 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+        Y3 = F.sub(Y3, F.add(t0, t2))           # X1Z2 + X2Z1
+        t0 = F.add(F.add(t0, t0), t0)           # 3 X1X2
+        t2 = self._mul_b3(F, t2)                # b3 Z1Z2
+        Z3 = F.add(t1, t2)
+        t1 = F.sub(t1, t2)
+        Y3 = self._mul_b3(F, Y3)
+        X3 = F.sub(F.mul(t3, t1), F.mul(t4, Y3))
+        Y3 = F.add(F.mul(Y3, t0), F.mul(t1, Z3))
+        Z3 = F.add(F.mul(Z3, t4), F.mul(t0, t3))
+        return jnp.stack([X3, Y3, Z3], axis=-2)
 
-        Z1Z1 = F.square(Z1)
-        Z2Z2 = F.square(Z2)
-        U1 = F.mul(X1, Z2Z2)
-        U2 = F.mul(X2, Z1Z1)
-        S1 = F.mul(Y1, F.mul(Z2, Z2Z2))
-        S2 = F.mul(Y2, F.mul(Z1, Z1Z1))
-        H = F.sub(U2, U1)
-        r = F.sub(S2, S1)
-
-        HH = F.square(H)
-        HHH = F.mul(H, HH)
-        V = F.mul(U1, HH)
-        X3 = F.sub(F.sub(F.square(r), HHH), F.double(V))
-        Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.mul(S1, HHH))
-        Z3 = F.mul(F.mul(Z1, Z2), H)
-        general = jnp.stack([X3, Y3, Z3], axis=-2)
-
-        p_inf = F.is_zero(Z1)
-        q_inf = F.is_zero(Z2)
-        h_zero = F.is_zero(H)
-        r_zero = F.is_zero(r)
-        both = ~p_inf & ~q_inf
-        is_double = both & h_zero & r_zero
-        is_inf_result = both & h_zero & ~r_zero
-
-        out = general
-        dbl = self.double(P)
-        sel = lambda c, a, b: jnp.where(c[..., None, None], a, b)
-        out = sel(is_double, dbl, out)
-        out = sel(is_inf_result, self.identity(out.shape[:-2]), out)
-        out = sel(p_inf, Q, out)
-        out = sel(q_inf, P, out)
+    @_jit
+    def madd(self, P, Q_affine, q_inf=None):
+        """Complete mixed addition (Renes–Costello Alg 8): P projective +
+        Q affine (x2, y2, with Z2 = 1 implied).  Handles P = identity
+        natively; Q at infinity must be flagged via ``q_inf`` (bool mask)
+        since affine coordinates cannot encode it."""
+        if _use_pallas():
+            from . import pallas_ec
+            return pallas_ec.ec_madd(self, P, Q_affine, q_inf)
+        F = self.Fq
+        X1, Y1, Z1 = P[..., 0, :], P[..., 1, :], P[..., 2, :]
+        X2, Y2 = Q_affine[..., 0, :], Q_affine[..., 1, :]
+        t0 = F.mul(X1, X2)
+        t1 = F.mul(Y1, Y2)
+        t3 = F.mul(F.add(X2, Y2), F.add(X1, Y1))
+        t3 = F.sub(t3, F.add(t0, t1))           # X1Y2 + X2Y1
+        t4 = F.add(F.mul(Y2, Z1), Y1)           # Y2Z1 + Y1
+        Y3 = F.add(F.mul(X2, Z1), X1)           # X2Z1 + X1
+        t0 = F.add(F.add(t0, t0), t0)           # 3 X1X2
+        t2 = self._mul_b3(F, Z1)                # b3 Z1
+        Z3 = F.add(t1, t2)
+        t1 = F.sub(t1, t2)
+        Y3 = self._mul_b3(F, Y3)
+        X3 = F.sub(F.mul(t3, t1), F.mul(t4, Y3))
+        Y3 = F.add(F.mul(Y3, t0), F.mul(t1, Z3))
+        Z3 = F.add(F.mul(Z3, t4), F.mul(t0, t3))
+        out = jnp.stack([X3, Y3, Z3], axis=-2)
+        if q_inf is not None:
+            out = jnp.where(jnp.asarray(q_inf)[..., None, None], P, out)
         return out
+
+    @_jit
+    def double(self, P):
+        """Complete doubling (Renes–Costello Alg 9, a = 0);
+        identity-safe by completeness."""
+        if _use_pallas():
+            from . import pallas_ec
+            return pallas_ec.ec_double(self, P)
+        F = self.Fq
+        X, Y, Z = P[..., 0, :], P[..., 1, :], P[..., 2, :]
+        t0 = F.mul(Y, Y)
+        Z3 = F.add(t0, t0)
+        Z3 = F.add(Z3, Z3)
+        Z3 = F.add(Z3, Z3)                      # 8 Y^2
+        t1 = F.mul(Y, Z)
+        t2 = F.mul(Z, Z)
+        t2 = self._mul_b3(F, t2)                # b3 Z^2
+        X3 = F.mul(t2, Z3)
+        Y3 = F.add(t0, t2)
+        Z3 = F.mul(t1, Z3)
+        t1 = F.add(t2, t2)
+        t2 = F.add(t1, t2)                      # 3 b3 Z^2
+        t0 = F.sub(t0, t2)                      # Y^2 - 3 b3 Z^2
+        Y3 = F.add(X3, F.mul(t0, Y3))
+        t1 = F.mul(X, Y)
+        X3 = F.mul(t0, t1)
+        X3 = F.add(X3, X3)
+        return jnp.stack([X3, Y3, Z3], axis=-2)
 
     @_jit
     def neg(self, P):
@@ -159,10 +201,8 @@ class Curve:
         F = self.Fq
         X1, Y1, Z1 = P[..., 0, :], P[..., 1, :], P[..., 2, :]
         X2, Y2, Z2 = Q[..., 0, :], Q[..., 1, :], Q[..., 2, :]
-        Z1Z1 = F.square(Z1)
-        Z2Z2 = F.square(Z2)
-        x_eq = F.eq(F.mul(X1, Z2Z2), F.mul(X2, Z1Z1))
-        y_eq = F.eq(F.mul(Y1, F.mul(Z2, Z2Z2)), F.mul(Y2, F.mul(Z1, Z1Z1)))
+        x_eq = F.eq(F.mul(X1, Z2), F.mul(X2, Z1))
+        y_eq = F.eq(F.mul(Y1, Z2), F.mul(Y2, Z1))
         p_inf = F.is_zero(Z1)
         q_inf = F.is_zero(Z2)
         return (p_inf & q_inf) | (~p_inf & ~q_inf & x_eq & y_eq)
@@ -209,15 +249,30 @@ class Curve:
 
     @_jit
     def batch_normalize(self, P):
-        """(n, 3, L) Jacobian -> (n, 2, L) affine (identity -> (0, 0)),
+        """(n, 3, L) projective -> (n, 2, L) affine (identity -> (0, 0)),
         one field inversion total."""
         F = self.Fq
         Z = P[..., 2, :]
         zinv = F.batch_inv(Z.reshape(-1, NLIMBS), axis=0).reshape(Z.shape)
-        zinv2 = F.square(zinv)
-        x = F.mul(P[..., 0, :], zinv2)
-        y = F.mul(P[..., 1, :], F.mul(zinv, zinv2))
+        x = F.mul(P[..., 0, :], zinv)
+        y = F.mul(P[..., 1, :], zinv)
         return jnp.stack([x, y], axis=-2)
+
+    def from_affine_coords(self, xy, inf_mask=None):
+        """(n, 2, NLIMBS) Montgomery affine (+ optional infinity mask) ->
+        (n, 3, NLIMBS) projective."""
+        F = self.Fq
+        x = xy[..., 0, :]
+        y = xy[..., 1, :]
+        one = F.ones(x.shape[:-1])
+        zero = F.zeros(x.shape[:-1])
+        if inf_mask is None:
+            inf_mask = F.is_zero(x) & F.is_zero(y)
+        m = jnp.asarray(inf_mask)[..., None]
+        X = jnp.where(m, zero, x)
+        Y = jnp.where(m, one, y)
+        Z = jnp.where(m, zero, one)
+        return jnp.stack([X, Y, Z], axis=-2)
 
     # ------------------------------------------------------------------
     # serialization (32-byte compressed; x LE with y-parity in top bit)

@@ -1,13 +1,14 @@
-"""Fused Pallas TPU kernels for the Jacobian group law.
+"""Fused Pallas TPU kernels for the complete projective group law.
 
-curve.add/double in curve.py lower to ~23 separate field-op dispatches, each
+curve.add/double in curve.py lower to many separate field-op dispatches, each
 round-tripping every limb through HBM.  These kernels inline the whole
-complete-addition formula over VMEM-resident limb vectors: one HBM read per
-point operand, one write per result — the same treatment fields/pallas_ops
-gives a single Montgomery multiply, applied to the full group law.
+Renes–Costello complete-addition formula (eprint 2015/1060, Algs 7–9, a = 0)
+over VMEM-resident limb vectors: one HBM read per point operand, one write
+per result.  Completeness means there is no per-lane branching at all —
+identity/double/inverse cases all flow through the same straight-line code.
 
-Layout: a batch of N Jacobian points (..., 3, NLIMBS) is flattened and
-transposed to (3*NLIMBS, N) so each limb row occupies full 8x128 VPU tiles.
+Layout: a batch of N points (..., 3, NLIMBS) is flattened and transposed to
+(3*NLIMBS, N) so each limb row occupies full 8x128 VPU tiles.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fields.field import Field, NLIMBS
+from ..fields.field import NLIMBS
 from ..fields.pallas_ops import (
     _add_body, _mont_mul_body, _sub_body,
 )
@@ -27,96 +28,113 @@ from ..fields.pallas_ops import (
 TILE = 512   # lanes per grid step; ~40 live field temps * 16 rows * TILE * 4B
 
 
-def _is_zero(limbs):
-    acc = limbs[0]
-    for l in limbs[1:]:
-        acc = acc | l
-    return acc == 0
+def _mul_b3_body(curve, F, x):
+    """Multiply limb-vector list by 3b via the same chain as Curve._mul_b3."""
+    b3 = curve.b3
+    if b3 == 9:
+        x2 = _add_body(F, x, x)
+        x4 = _add_body(F, x2, x2)
+        x8 = _add_body(F, x4, x4)
+        return _add_body(F, x8, x)
+    if b3 == 15:
+        x2 = _add_body(F, x, x)
+        x4 = _add_body(F, x2, x2)
+        x8 = _add_body(F, x4, x4)
+        return _sub_body(F, _add_body(F, x8, x8), x)
+    const = [jnp.full_like(x[0], int(l))
+             for l in _b3_mont_limbs(curve)]
+    return _mont_mul_body(F, x, const)
 
 
-def _select(cond, a, b):
-    return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+def _b3_mont_limbs(curve):
+    import numpy as np
+    F = curve.Fq
+    v = F.to_mont_int(curve.b3)
+    return [(v >> (16 * i)) & 0xFFFF for i in range(NLIMBS)]
 
 
-def _dbl_f(F, a):
-    return _add_body(F, a, a)
-
-
-def _double_body(F: Field, X, Y, Z):
-    """Jacobian doubling, a = 0 (identity-safe: Z stays 0).  Mirrors
-    curve.py double / halo2curves dbl formula."""
-    A = _mont_mul_body(F, X, X)
-    B = _mont_mul_body(F, Y, Y)
-    C = _mont_mul_body(F, B, B)
-    XB = _add_body(F, X, B)
-    t = _mont_mul_body(F, XB, XB)
-    D = _dbl_f(F, _sub_body(F, _sub_body(F, t, A), C))
-    E = _add_body(F, _add_body(F, A, A), A)
-    Fv = _mont_mul_body(F, E, E)
-    X3 = _sub_body(F, Fv, _dbl_f(F, D))
-    eightC = _dbl_f(F, _dbl_f(F, _dbl_f(F, C)))
-    Y3 = _sub_body(F, _mont_mul_body(F, E, _sub_body(F, D, X3)), eightC)
-    Z3 = _dbl_f(F, _mont_mul_body(F, Y, Z))
+def _add_body_ec(curve, P, Q):
+    """Complete projective addition (RC15 Alg 7, a = 0)."""
+    F = curve.Fq
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0 = _mont_mul_body(F, X1, X2)
+    t1 = _mont_mul_body(F, Y1, Y2)
+    t2 = _mont_mul_body(F, Z1, Z2)
+    t3 = _mont_mul_body(F, _add_body(F, X1, Y1), _add_body(F, X2, Y2))
+    t3 = _sub_body(F, t3, _add_body(F, t0, t1))
+    t4 = _mont_mul_body(F, _add_body(F, Y1, Z1), _add_body(F, Y2, Z2))
+    t4 = _sub_body(F, t4, _add_body(F, t1, t2))
+    Y3 = _mont_mul_body(F, _add_body(F, X1, Z1), _add_body(F, X2, Z2))
+    Y3 = _sub_body(F, Y3, _add_body(F, t0, t2))
+    t0 = _add_body(F, _add_body(F, t0, t0), t0)
+    t2 = _mul_b3_body(curve, F, t2)
+    Z3 = _add_body(F, t1, t2)
+    t1 = _sub_body(F, t1, t2)
+    Y3 = _mul_b3_body(curve, F, Y3)
+    X3 = _sub_body(F, _mont_mul_body(F, t3, t1), _mont_mul_body(F, t4, Y3))
+    Y3 = _add_body(F, _mont_mul_body(F, Y3, t0), _mont_mul_body(F, t1, Z3))
+    Z3 = _add_body(F, _mont_mul_body(F, Z3, t4), _mont_mul_body(F, t0, t3))
     return X3, Y3, Z3
 
 
-def _add_body_ec(F: Field, P, Q):
-    """Complete Jacobian addition (identity / equal / inverse cases),
-    mirroring curve.py add."""
+def _madd_body_ec(curve, P, Q_aff, q_inf=None):
+    """Complete mixed addition (RC15 Alg 8): P projective + (x2, y2, Z2=1).
+    Handles P = identity natively.  ``q_inf``: optional (T,) bool vector —
+    lanes where Q is the identity pass P through."""
+    F = curve.Fq
     X1, Y1, Z1 = P
-    X2, Y2, Z2 = Q
-    Z1Z1 = _mont_mul_body(F, Z1, Z1)
-    Z2Z2 = _mont_mul_body(F, Z2, Z2)
-    U1 = _mont_mul_body(F, X1, Z2Z2)
-    U2 = _mont_mul_body(F, X2, Z1Z1)
-    S1 = _mont_mul_body(F, Y1, _mont_mul_body(F, Z2, Z2Z2))
-    S2 = _mont_mul_body(F, Y2, _mont_mul_body(F, Z1, Z1Z1))
-    H = _sub_body(F, U2, U1)
-    r = _sub_body(F, S2, S1)
-
-    HH = _mont_mul_body(F, H, H)
-    HHH = _mont_mul_body(F, H, HH)
-    V = _mont_mul_body(F, U1, HH)
-    rr = _mont_mul_body(F, r, r)
-    X3 = _sub_body(F, _sub_body(F, rr, HHH), _dbl_f(F, V))
-    Y3 = _sub_body(F, _mont_mul_body(F, r, _sub_body(F, V, X3)),
-                   _mont_mul_body(F, S1, HHH))
-    Z3 = _mont_mul_body(F, _mont_mul_body(F, Z1, Z2), H)
-
-    DX, DY, DZ = _double_body(F, X1, Y1, Z1)
-
-    p_inf = _is_zero(Z1)
-    q_inf = _is_zero(Z2)
-    h_zero = _is_zero(H)
-    r_zero = _is_zero(r)
-    both = (~p_inf) & (~q_inf)
-    is_double = both & h_zero & r_zero
-    is_inf = both & h_zero & (~r_zero)
-
-    zero = [jnp.zeros_like(X1[0])] * NLIMBS
-    # curve.identity() encodes infinity as (1, 1, 0) in Montgomery form
-    one = [jnp.full_like(X1[0], int(F._one_mont[i])) for i in range(NLIMBS)]
-    outX, outY, outZ = X3, Y3, Z3
-    outX = _select(is_double, DX, outX)
-    outY = _select(is_double, DY, outY)
-    outZ = _select(is_double, DZ, outZ)
-    outX = _select(is_inf, one, outX)
-    outY = _select(is_inf, one, outY)
-    outZ = _select(is_inf, zero, outZ)
-    outX = _select(p_inf, X2, outX)
-    outY = _select(p_inf, Y2, outY)
-    outZ = _select(p_inf, Z2, outZ)
-    outX = _select(q_inf, X1, outX)
-    outY = _select(q_inf, Y1, outY)
-    outZ = _select(q_inf, Z1, outZ)
-    return outX, outY, outZ
+    X2, Y2 = Q_aff
+    t0 = _mont_mul_body(F, X1, X2)
+    t1 = _mont_mul_body(F, Y1, Y2)
+    t3 = _mont_mul_body(F, _add_body(F, X2, Y2), _add_body(F, X1, Y1))
+    t3 = _sub_body(F, t3, _add_body(F, t0, t1))
+    t4 = _add_body(F, _mont_mul_body(F, Y2, Z1), Y1)
+    Y3 = _add_body(F, _mont_mul_body(F, X2, Z1), X1)
+    t0 = _add_body(F, _add_body(F, t0, t0), t0)
+    t2 = _mul_b3_body(curve, F, Z1)
+    Z3 = _add_body(F, t1, t2)
+    t1 = _sub_body(F, t1, t2)
+    Y3 = _mul_b3_body(curve, F, Y3)
+    X3 = _sub_body(F, _mont_mul_body(F, t3, t1), _mont_mul_body(F, t4, Y3))
+    Y3 = _add_body(F, _mont_mul_body(F, Y3, t0), _mont_mul_body(F, t1, Z3))
+    Z3 = _add_body(F, _mont_mul_body(F, Z3, t4), _mont_mul_body(F, t0, t3))
+    if q_inf is not None:
+        sel = lambda a, b: [jnp.where(q_inf, x, y) for x, y in zip(a, b)]
+        X3 = sel(X1, X3)
+        Y3 = sel(Y1, Y3)
+        Z3 = sel(Z1, Z3)
+    return X3, Y3, Z3
 
 
-def _rows(ref):
-    X = [ref[i] for i in range(NLIMBS)]
-    Y = [ref[NLIMBS + i] for i in range(NLIMBS)]
-    Z = [ref[2 * NLIMBS + i] for i in range(NLIMBS)]
-    return X, Y, Z
+def _double_body(curve, X, Y, Z):
+    """Complete projective doubling (RC15 Alg 9, a = 0)."""
+    F = curve.Fq
+    t0 = _mont_mul_body(F, Y, Y)
+    Z3 = _add_body(F, t0, t0)
+    Z3 = _add_body(F, Z3, Z3)
+    Z3 = _add_body(F, Z3, Z3)
+    t1 = _mont_mul_body(F, Y, Z)
+    t2 = _mont_mul_body(F, Z, Z)
+    t2 = _mul_b3_body(curve, F, t2)
+    X3 = _mont_mul_body(F, t2, Z3)
+    Y3 = _add_body(F, t0, t2)
+    Z3 = _mont_mul_body(F, t1, Z3)
+    t1 = _add_body(F, t2, t2)
+    t2 = _add_body(F, t1, t2)
+    t0 = _sub_body(F, t0, t2)
+    Y3 = _add_body(F, X3, _mont_mul_body(F, t0, Y3))
+    t1 = _mont_mul_body(F, X, Y)
+    X3 = _mont_mul_body(F, t0, t1)
+    X3 = _add_body(F, X3, X3)
+    return X3, Y3, Z3
+
+
+def _rows(ref, ncoords=3):
+    out = []
+    for c in range(ncoords):
+        out.append([ref[c * NLIMBS + i] for i in range(NLIMBS)])
+    return out
 
 
 def _store(ref, XYZ):
@@ -127,30 +145,17 @@ def _store(ref, XYZ):
         ref[2 * NLIMBS + i] = Z[i]
 
 
-def _make_add_kernel(F: Field):
-    def kernel(p_ref, q_ref, o_ref):
-        _store(o_ref, _add_body_ec(F, _rows(p_ref), _rows(q_ref)))
-    return kernel
-
-
-def _make_double_kernel(F: Field):
-    def kernel(p_ref, o_ref):
-        X, Y, Z = _rows(p_ref)
-        _store(o_ref, _double_body(F, X, Y, Z))
-    return kernel
-
-
-def _flatten_points(P):
-    """(..., 3, NLIMBS) -> (3*NLIMBS, n), n, batch_shape."""
+def _flatten(P, ncoords=3):
+    """(..., ncoords, NLIMBS) -> (ncoords*NLIMBS, n), n, batch_shape."""
     batch = P.shape[:-2]
     n = 1
     for d in batch:
         n *= d
-    flat = P.reshape(n, 3 * NLIMBS)
+    flat = P.reshape(n, ncoords * NLIMBS)
     return jnp.moveaxis(flat, -1, 0), n, batch
 
 
-def _unflatten_points(out, n, batch):
+def _unflatten(out, n, batch):
     return jnp.moveaxis(out[:, :n], 0, -1).reshape(batch + (3, NLIMBS))
 
 
@@ -158,17 +163,23 @@ ROWS = 3 * NLIMBS
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def ec_add(F: Field, P, Q):
-    """Fused complete Jacobian add over broadcast-batched point arrays."""
+def ec_add(curve, P, Q):
+    """Fused complete projective add over broadcast-batched point arrays."""
     P, Q = jnp.broadcast_arrays(P, Q)
-    pt, n, batch = _flatten_points(P)
-    qt, _, _ = _flatten_points(Q)
+    pt, n, batch = _flatten(P)
+    qt, _, _ = _flatten(Q)
     n_pad = -(-max(n, 1) // TILE) * TILE
     if n_pad != n:
         pt = jnp.pad(pt, [(0, 0), (0, n_pad - n)])
         qt = jnp.pad(qt, [(0, 0), (0, n_pad - n)])
+
+    def kernel(p_ref, q_ref, o_ref):
+        P3, = (_rows(p_ref),)
+        Q3 = _rows(q_ref)
+        _store(o_ref, _add_body_ec(curve, P3, Q3))
+
     out = pl.pallas_call(
-        _make_add_kernel(F),
+        kernel,
         grid=(n_pad // TILE,),
         in_specs=[
             pl.BlockSpec((ROWS, TILE), lambda i: (0, i),
@@ -180,17 +191,65 @@ def ec_add(F: Field, P, Q):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.uint32),
     )(pt, qt)
-    return _unflatten_points(out, n, batch)
+    return _unflatten(out, n, batch)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def ec_double(F: Field, P):
-    pt, n, batch = _flatten_points(P)
+def ec_madd(curve, P, Q_aff, q_inf=None):
+    """Fused complete mixed add: P (..., 3, L) projective + Q (..., 2, L)
+    affine Montgomery coords, with optional (...,) bool infinity mask."""
+    batch = jnp.broadcast_shapes(P.shape[:-2], Q_aff.shape[:-2])
+    P = jnp.broadcast_to(P, batch + (3, NLIMBS))
+    Q_aff = jnp.broadcast_to(Q_aff, batch + (2, NLIMBS))
+    pt, n, batch = _flatten(P)
+    qt, _, _ = _flatten(Q_aff, 2)
+    if q_inf is None:
+        q_inf = jnp.zeros(batch, dtype=jnp.bool_)
+    qi = jnp.broadcast_to(jnp.asarray(q_inf), batch).reshape(
+        1, n).astype(jnp.uint32)
     n_pad = -(-max(n, 1) // TILE) * TILE
     if n_pad != n:
         pt = jnp.pad(pt, [(0, 0), (0, n_pad - n)])
+        qt = jnp.pad(qt, [(0, 0), (0, n_pad - n)])
+        qi = jnp.pad(qi, [(0, 0), (0, n_pad - n)])
+
+    def kernel(p_ref, q_ref, i_ref, o_ref):
+        P3 = _rows(p_ref)
+        Q2 = _rows(q_ref, 2)
+        inf = i_ref[0] != 0
+        _store(o_ref, _madd_body_ec(curve, P3, Q2, inf))
+
     out = pl.pallas_call(
-        _make_double_kernel(F),
+        kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((ROWS, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * NLIMBS, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROWS, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.uint32),
+    )(pt, qt, qi)
+    return _unflatten(out, n, batch)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ec_double(curve, P):
+    pt, n, batch = _flatten(P)
+    n_pad = -(-max(n, 1) // TILE) * TILE
+    if n_pad != n:
+        pt = jnp.pad(pt, [(0, 0), (0, n_pad - n)])
+
+    def kernel(p_ref, o_ref):
+        X, Y, Z = _rows(p_ref)
+        _store(o_ref, _double_body(curve, X, Y, Z))
+
+    out = pl.pallas_call(
+        kernel,
         grid=(n_pad // TILE,),
         in_specs=[
             pl.BlockSpec((ROWS, TILE), lambda i: (0, i),
@@ -200,4 +259,4 @@ def ec_double(F: Field, P):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.uint32),
     )(pt)
-    return _unflatten_points(out, n, batch)
+    return _unflatten(out, n, batch)

@@ -1,0 +1,387 @@
+"""TPU-native Pippenger bucket accumulation via sort + segmented scan.
+
+Replaces the emission/compaction MSM pipeline with a design built around two
+measured TPU facts: (1) `lax.sort` carrying the point limbs as value columns
+moves the data at near-sort speed, so sort-by-digit costs barely more than
+sorting the digits alone — no separate 2M-row gather; (2) a fused Pallas
+kernel can stream sorted (digit, point) tiles from HBM and keep the running
+accumulator in VMEM scratch, so the only sequential state is one register
+per lane.
+
+Pipeline (the reference's `best_multiexp`, halo2_middleware/src/zal.rs:137):
+
+  digits --lax.sort(key + 33 value cols)--> sorted runs, one run per bucket
+         --segmented madd scan (Pallas)---> per-lane final partial sums
+         --recursive scan over lane sums--> per-bucket sums B_beta
+         --tail fix (gather <= keys*block rows, masked fold)
+         --double suffix sum-------------> sum beta * B_beta
+
+Every bucket's points form a contiguous run after the sort, so a lane
+(a contiguous chunk of `block` sorted elements) contains at most
+(transitions inside it + 1) runs; per-lane partials that end at a lane
+boundary surface in the lane-final output, and the <= n_keys partials that
+end mid-lane ("tails") are recomputed exactly from the <= block trailing
+elements of each run — no full accumulator trace is ever materialized.
+
+The scan is always-correct for adversarial scalar distributions (a single
+bucket may own every element); completeness of the Renes-Costello formulas
+means no add can mis-handle equal/inverse/identity operands.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.curve import Curve
+from ..fields.field import NLIMBS, _use_pallas
+
+LANES = 1024     # lane-tile width for the Pallas scan kernel
+
+
+# ----------------------------------------------------------------------
+# segmented scan level (Pallas kernel + jnp fallback)
+# ----------------------------------------------------------------------
+
+def _lift_affine(curve, xy, inf):
+    """(…, 2, L) affine + inf mask -> projective (identity where inf)."""
+    return curve.from_affine_coords(xy, inf)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _scan_level(curve: Curve, keys, pts, inf, block: int, affine: bool):
+    """One segmented-scan level.
+
+    keys: (M,) int32, non-decreasing; M divisible by block.
+    pts:  (M, 2, L) affine Montgomery coords if `affine` else (M, 3, L)
+          projective.
+    inf:  (M,) bool — identity flags (only consulted when affine).
+
+    Returns (finals, lane_keys): finals (M//block, 3, L) — the running sum of
+    the LAST run-piece in each lane; lane_keys (M//block,) — that run's key.
+    """
+    M = keys.shape[0]
+    nb = M // block
+    assert nb * block == M
+
+    if _use_pallas() and nb % 8 == 0 and nb >= 8:
+        return _scan_level_pallas(curve, keys, pts, inf, block, affine)
+
+    # jnp fallback: lax.scan over the block dimension
+    kT = jnp.moveaxis(keys.reshape(nb, block), 1, 0)          # (block, nb)
+    pT = jnp.moveaxis(pts.reshape((nb, block) + pts.shape[1:]), 1, 0)
+    iT = jnp.moveaxis(inf.reshape(nb, block), 1, 0)
+
+    def step(carry, x):
+        seg, acc = carry
+        k, p, is_inf = x
+        fresh = k != seg
+        if affine:
+            started = _lift_affine(curve, p, is_inf)
+            added = curve.madd(acc, p, is_inf)
+        else:
+            started = p
+            added = curve.add(acc, p)
+        acc = jnp.where(fresh[..., None, None], started, added)
+        return (k, acc), None
+
+    init = (jnp.full((nb,), -2, jnp.int32), curve.identity((nb,)))
+    (lane_keys, finals), _ = jax.lax.scan(step, init, (kT, pT, iT))
+    return finals, lane_keys
+
+
+def _scan_level_pallas(curve, keys, pts, inf, block, affine):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..curves.pallas_ec import _madd_body_ec, _add_body_ec
+    from ..fields.pallas_ops import _mont_mul_body  # noqa: F401 (kernel dep)
+
+    M = keys.shape[0]
+    nb = M // block
+    lanes = min(LANES, nb)
+    while nb % lanes:
+        lanes //= 2
+    n_tiles = nb // lanes
+    F = curve.Fq
+    ncoord = 2 if affine else 3
+    nrows = ncoord * NLIMBS + 1    # +1 row: inf flag (affine) / unused
+
+    # layout: (block, nrows, nb) — step-major so each grid step streams one
+    # (1, nrows, lanes) tile; limb rows map onto sublanes, lanes onto lanes.
+    flat = pts.reshape(nb, block, ncoord * NLIMBS)
+    extra = (inf if affine else jnp.zeros_like(inf)).astype(jnp.uint32)
+    flat = jnp.concatenate(
+        [flat, extra.reshape(nb, block, 1)], axis=-1)
+    pT = jnp.transpose(flat, (1, 2, 0))                    # (block, nrows, nb)
+    kT = jnp.moveaxis(keys.reshape(nb, block), 1, 0)       # (block, nb)
+    kT = kT.reshape(block, 1, nb)
+
+    one_mont = [np.uint32(int(x)) for x in curve.Fq._one_mont]
+
+    def kernel(k_ref, p_ref, fin_ref, lk_ref, acc_ref, seg_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            seg_ref[0] = jnp.full((lanes,), -2, jnp.int32)
+
+        k = k_ref[0, 0]                                    # (lanes,) i32
+        fresh = k != seg_ref[0]
+        X1 = [acc_ref[i] for i in range(NLIMBS)]
+        Y1 = [acc_ref[NLIMBS + i] for i in range(NLIMBS)]
+        Z1 = [acc_ref[2 * NLIMBS + i] for i in range(NLIMBS)]
+        if affine:
+            x2 = [p_ref[0, i] for i in range(NLIMBS)]
+            y2 = [p_ref[0, NLIMBS + i] for i in range(NLIMBS)]
+            is_inf = p_ref[0, 2 * NLIMBS] != 0
+            X3, Y3, Z3 = _madd_body_ec(curve, (X1, Y1, Z1), (x2, y2), is_inf)
+            zero = jnp.zeros((lanes,), jnp.uint32)
+            sx = [jnp.where(is_inf, zero, v) for v in x2]
+            sy = [jnp.where(is_inf, jnp.full((lanes,), o), v)
+                  for o, v in zip(one_mont, y2)]
+            sz = [jnp.where(is_inf, zero, jnp.full((lanes,), o))
+                  for o in one_mont]
+        else:
+            sx = [p_ref[0, i] for i in range(NLIMBS)]
+            sy = [p_ref[0, NLIMBS + i] for i in range(NLIMBS)]
+            sz = [p_ref[0, 2 * NLIMBS + i] for i in range(NLIMBS)]
+            X3, Y3, Z3 = _add_body_ec(curve, (X1, Y1, Z1), (sx, sy, sz))
+        for i in range(NLIMBS):
+            acc_ref[i] = jnp.where(fresh, sx[i], X3[i])
+            acc_ref[NLIMBS + i] = jnp.where(fresh, sy[i], Y3[i])
+            acc_ref[2 * NLIMBS + i] = jnp.where(fresh, sz[i], Z3[i])
+        seg_ref[0] = k
+        # revisited output blocks: last write (t == block-1) is what lands
+        for i in range(3 * NLIMBS):
+            fin_ref[0, i] = acc_ref[i]
+        lk_ref[0, 0] = k
+
+    grid = (n_tiles, block)
+    finals, lane_keys = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, lanes), lambda l, t: (t, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nrows, lanes), lambda l, t: (t, 0, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3 * NLIMBS, lanes), lambda l, t: (0, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lanes), lambda l, t: (0, 0, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 3 * NLIMBS, nb), jnp.uint32),
+            jax.ShapeDtypeStruct((1, 1, nb), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3 * NLIMBS, lanes), jnp.uint32),
+            pltpu.VMEM((1, lanes), jnp.int32),
+        ],
+    )(kT, pT)
+    finals = jnp.transpose(finals[0], (1, 0)).reshape(nb, 3, NLIMBS)
+    return finals, lane_keys[0, 0]
+
+
+# ----------------------------------------------------------------------
+# tails: per-key partials that end mid-lane, recomputed from raw elements
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _tails(curve: Curve, keys, pts, inf, block: int, n_keys: int,
+           affine: bool):
+    """For each key k, the sum of the trailing run elements that do NOT end
+    at a lane boundary: elements [max(start_k, block*floor((end_k-1)/block)),
+    end_k).  Returns (n_keys, 3, L) projective points (identity when the
+    run is empty or ends lane-aligned)."""
+    M = keys.shape[0]
+    s = jnp.searchsorted(keys, jnp.arange(n_keys + 1, dtype=jnp.int32))
+    start, end = s[:-1], s[1:]
+    nonempty = end > start
+    aligned = (end % block) == 0
+    lane_start = ((end - 1) // block) * block
+    a = jnp.maximum(start, lane_start)
+    take = jnp.where(nonempty & ~aligned, end - a, 0)     # (n_keys,) <= block
+    pos = a[:, None] + jnp.arange(block)[None, :]          # (n_keys, block)
+    valid = jnp.arange(block)[None, :] < take[:, None]
+    pos = jnp.clip(pos, 0, M - 1)
+    g_pts = jnp.take(pts, pos.reshape(-1), axis=0).reshape(
+        (n_keys, block) + pts.shape[1:])
+    g_inf = jnp.take(inf, pos.reshape(-1), axis=0).reshape(n_keys, block)
+    g_inf = g_inf | ~valid
+
+    def step(acc, x):
+        p, is_inf = x
+        if affine:
+            acc = curve.madd(acc, p, is_inf)
+        else:
+            acc = jnp.where(is_inf[..., None, None], acc, curve.add(acc, p))
+        return acc, None
+
+    init = curve.identity((n_keys,))
+    acc, _ = jax.lax.scan(
+        step, init,
+        (jnp.moveaxis(g_pts, 1, 0), jnp.moveaxis(g_inf, 1, 0)))
+    return acc
+
+
+# ----------------------------------------------------------------------
+# bucket reduction: sorted (key, point) stream -> per-key sums
+# ----------------------------------------------------------------------
+
+def bucket_sums(curve: Curve, keys, pts, inf, n_keys: int, block: int = 64):
+    """Sum points grouped by key.  keys (M,) int32 SORTED non-decreasing in
+    [0, n_keys); pts (M, 2, L) affine Montgomery; inf (M,) bool.
+    Returns (n_keys, 3, L) projective bucket sums."""
+    M = keys.shape[0]
+    total = curve.identity((n_keys,))
+    affine = True
+    level = 0
+    while M > block:
+        pad = (-M) % (block * 8)
+        if pad:
+            keys = jnp.concatenate(
+                [keys, jnp.full((pad,), n_keys, jnp.int32)])
+            if affine:
+                pts = jnp.concatenate([pts, curve.Fq.zeros((pad, 2))], axis=0)
+            else:
+                pts = jnp.concatenate([pts, curve.identity((pad,))], axis=0)
+            inf = jnp.concatenate([inf, jnp.ones((pad,), jnp.bool_)])
+            M += pad
+        t = _tails(curve, keys, pts, inf, block, n_keys, affine)
+        total = curve.add(total, t)
+        pts, keys = _scan_level(curve, keys, pts, inf, block, affine)
+        inf = curve.is_identity(pts) | (keys >= n_keys) | (keys < 0)
+        affine = False
+        M = keys.shape[0]
+        level += 1
+        assert level < 8, "bucket_sums failed to converge"
+
+    # final <= block elements: one-hot accumulate over all keys at once
+    def step(acc, x):
+        k, p, is_inf = x
+        hit = (jnp.arange(n_keys) == k) & ~is_inf
+        cand = curve.add(acc, jnp.broadcast_to(p, acc.shape))
+        return jnp.where(hit[..., None, None], cand, acc), None
+
+    total, _ = jax.lax.scan(step, total, (keys, pts, inf))
+    return total
+
+
+def weighted_bucket_fold(curve: Curve, buckets):
+    """sum_{j>=1} j * B_j via two suffix-sum passes (Hillis-Steele doubling;
+    reference folds buckets serially — poly/ipa & kzg commit MSMs)."""
+    def suffix(arr):
+        k = arr.shape[0]
+        r = 0
+        while (1 << r) < k:
+            d = 1 << r
+            shifted = jnp.concatenate(
+                [arr[d:], curve.identity((d,))], axis=0)
+            arr = curve.add(arr, shifted)
+            r += 1
+        return arr
+
+    b = buckets[1:]               # drop bucket 0
+    return suffix(suffix(b))[0]
+
+
+# ----------------------------------------------------------------------
+# MSM entry points
+# ----------------------------------------------------------------------
+
+def _digits(Fr, scalars_mont, c: int):
+    """(n, L) Montgomery scalars -> (n_windows, n) int32 digit matrix."""
+    assert 16 % c == 0
+    limbs = Fr.from_mont(scalars_mont)
+    n_windows = 256 // c
+    digits_per_limb = 16 // c
+    w = jnp.arange(n_windows)
+    limb_idx = w // digits_per_limb
+    shift = (w % digits_per_limb) * c
+    return ((limbs[:, limb_idx].astype(jnp.int32) >> shift[None, :])
+            & ((1 << c) - 1)).T                            # (n_windows, n)
+
+
+def _sort_by_key(keys, cols):
+    """Sort (keys,) + value columns together; returns (keys_sorted, cols_sorted)."""
+    out = jax.lax.sort([keys] + list(cols), num_keys=1)
+    return out[0], out[1:]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def msm_windowed_cached(curve: Curve, scalars_mont, wbases, c: int = 8,
+                        block: int = 64):
+    """Fixed-base MSM against precomputed window bases in AFFINE form.
+
+    wbases: (x_cols, y_cols, inf) with x_cols/y_cols (n_windows*n_max, L)
+    uint32 Montgomery affine coords and inf (n_windows*n_max,) bool — the
+    window factor 2^(c*w) is baked into the bases, so all windows share one
+    256-bucket space (the ZAL descriptor-cache seam,
+    halo2_middleware/src/zal.rs:78-102)."""
+    xs, ys, inf = wbases
+    n = scalars_mont.shape[0]
+    n_windows = 256 // c
+    n_max = xs.shape[0] // n_windows
+    d = _digits(curve.Fr, scalars_mont, c)                 # (n_windows, n)
+    if n != n_max:
+        xs = xs.reshape(n_windows, n_max, NLIMBS)[:, :n].reshape(-1, NLIMBS)
+        ys = ys.reshape(n_windows, n_max, NLIMBS)[:, :n].reshape(-1, NLIMBS)
+        inf = inf.reshape(n_windows, n_max)[:, :n].reshape(-1)
+    keys = d.reshape(-1)
+    cols = ([xs[:, i] for i in range(NLIMBS)]
+            + [ys[:, i] for i in range(NLIMBS)]
+            + [inf.astype(jnp.uint32)])
+    keys_s, cols_s = _sort_by_key(keys, cols)
+    pts = jnp.stack(
+        [jnp.stack(cols_s[:NLIMBS], axis=-1),
+         jnp.stack(cols_s[NLIMBS:2 * NLIMBS], axis=-1)], axis=-2)
+    inf_s = cols_s[2 * NLIMBS] != 0
+    buckets = bucket_sums(curve, keys_s, pts, inf_s, (1 << c) + 1, block)
+    return weighted_bucket_fold(curve, buckets[:1 << c])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def msm_variable(curve: Curve, scalars_mont, points, c: int = 8,
+                 block: int = 64):
+    """Variable-base MSM (the general `best_multiexp`): per-window bucket
+    spaces tagged into one key stream, one sort + one scan, then a Horner
+    fold over windows with c doublings per step."""
+    n = scalars_mont.shape[0]
+    n_windows = 256 // c
+    nb_keys = (1 << c) + 1
+    d = _digits(curve.Fr, scalars_mont, c)                 # (n_windows, n)
+    aff = curve.batch_normalize(points)
+    inf0 = curve.is_identity(points)
+    keys = (d + jnp.arange(n_windows, dtype=jnp.int32)[:, None]
+            * nb_keys).reshape(-1)
+    xs = jnp.tile(aff[:, 0, :], (n_windows, 1))
+    ys = jnp.tile(aff[:, 1, :], (n_windows, 1))
+    inf = jnp.tile(inf0, (n_windows,))
+    cols = ([xs[:, i] for i in range(NLIMBS)]
+            + [ys[:, i] for i in range(NLIMBS)]
+            + [inf.astype(jnp.uint32)])
+    keys_s, cols_s = _sort_by_key(keys, cols)
+    pts = jnp.stack(
+        [jnp.stack(cols_s[:NLIMBS], axis=-1),
+         jnp.stack(cols_s[NLIMBS:2 * NLIMBS], axis=-1)], axis=-2)
+    inf_s = cols_s[2 * NLIMBS] != 0
+    buckets = bucket_sums(curve, keys_s, pts, inf_s,
+                          n_windows * nb_keys, block)
+    buckets = buckets.reshape(n_windows, nb_keys, 3, NLIMBS)
+
+    # per-window weighted fold, then Horner over windows (high to low)
+    per_window = jax.vmap(
+        lambda b: weighted_bucket_fold(curve, b))(buckets[:, :1 << c])
+
+    def horner(w, acc):
+        for _ in range(c):
+            acc = curve.double(acc)
+        return curve.add(acc, per_window[n_windows - 1 - w])
+
+    return jax.lax.fori_loop(0, n_windows, horner, curve.identity(()))

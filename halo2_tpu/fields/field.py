@@ -365,14 +365,33 @@ class Field:
         is_zero = self.is_zero(a)
         safe = jnp.where(is_zero[..., None], self.ones(a.shape[:-1]), a)
 
-        prefix = jax.lax.associative_scan(self.mul, safe, axis=0)
-        total_inv = self.inv(prefix[-1])
-        suffix = jax.lax.associative_scan(self.mul, safe, axis=0, reverse=True)
-
+        # Hillis-Steele prefix/suffix products via fori_loop with a dynamic
+        # shift: exactly ONE field-mul kernel instance in the compiled
+        # program per scan (an associative_scan would inline the Montgomery
+        # multiply at every one of its ~2*log(n) combine nodes, which blows
+        # up XLA compile memory for large n).
         n = a.shape[0]
-        ones = self.ones((1,) + a.shape[1:-1])
-        prefix_excl = jnp.concatenate([ones, prefix[:-1]], axis=0)
-        suffix_excl = jnp.concatenate([suffix[1:], ones], axis=0)
+        rows = jnp.arange(n).reshape((n,) + (1,) * (a.ndim - 1))
+        ones = self.ones(a.shape[:-1])
+
+        def scan_dir(x, reverse: bool):
+            def round_(r, v):
+                d = jnp.int32(1) << r
+                shifted = jnp.roll(v, -d if reverse else d, axis=0)
+                mask = (rows < n - d) if reverse else (rows >= d)
+                prev = jnp.where(mask, shifted, ones)
+                return self.mul(v, prev)
+
+            return jax.lax.fori_loop(0, max((n - 1).bit_length(), 1),
+                                     round_, x)
+
+        prefix = scan_dir(safe, False)
+        suffix = scan_dir(safe, True)
+        total_inv = self.inv(prefix[-1])
+
+        ones1 = self.ones((1,) + a.shape[1:-1])
+        prefix_excl = jnp.concatenate([ones1, prefix[:-1]], axis=0)
+        suffix_excl = jnp.concatenate([suffix[1:], ones1], axis=0)
         inv = self.mul(self.mul(prefix_excl, suffix_excl), total_inv)
         inv = jnp.where(is_zero[..., None], self.zeros(a.shape[:-1]), inv)
         return jnp.moveaxis(inv, 0, axis)

@@ -1,0 +1,208 @@
+"""Fused Pallas NTT: four-step (Bailey) decomposition with VMEM-resident
+butterfly stages.
+
+The XLA stage-per-op NTT in ntt.py round-trips the whole array through HBM
+~3x per stage (log n stages).  This path instead splits the transform as
+n = n1 * n2 (recursively, n1 <= 512): each size-n1 column NTT runs entirely
+inside one Pallas kernel — bit-reversed load, log(n1) butterfly stages over
+VMEM-resident limbs, twiddle tables staged once — so HBM sees only a few
+linear passes regardless of n.  The mid twiddle w^(i2*k1) and the axis
+transpose between the two half-transforms are plain XLA ops.
+
+Replaces the hot path of the reference's `best_fft`
+(halo2_backend/src/arithmetic.rs:11, halo2curves fft).  The four-step
+structure is also the multi-chip story: local column NTTs + all-to-all
+transpose (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.field import Field, NLIMBS
+from .ntt import bit_reverse_indices
+
+MAX_BASE = 512       # largest single-kernel NTT (sublane dim of the block)
+LANE_TILE = 128      # lanes per grid step
+
+
+def _pow_table_host(F: Field, base_int: int, n: int) -> np.ndarray:
+    """[base^0 .. base^{n-1}] as (n, NLIMBS) Montgomery uint32 (host build)."""
+    out = np.zeros((n, NLIMBS), np.uint32)
+    cur = F.to_mont_int(1)
+    base_m = F.to_mont_int(base_int)
+    rinv = F.R_inv
+    for i in range(n):
+        for l in range(NLIMBS):
+            out[i, l] = (cur >> (16 * l)) & 0xFFFF
+        cur = (cur * base_m % F.p) * rinv % F.p
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _base_ntt_jnp(F: Field, x, table, log_m: int):
+    """Pure-jnp base NTT (CPU fallback), same contract as _base_ntt."""
+    m = 1 << log_m
+    xt = jnp.moveaxis(x, 0, -1)                         # (m, B, L)
+    tb = jnp.moveaxis(table, 0, -1)                     # (m//2, L)
+    for s in range(1, log_m + 1):
+        bs = 1 << s
+        h = bs // 2
+        stride = m // bs
+        v = xt.reshape(m // bs, bs, -1, NLIMBS)
+        e = v[:, :h]
+        o = v[:, h:]
+        t = o if s == 1 else F.mul(o, tb[::stride][None, :, None, :])
+        xt = jnp.concatenate([F.add(e, t), F.sub(e, t)], axis=1).reshape(
+            m, -1, NLIMBS)
+    return jnp.moveaxis(xt, -1, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _base_ntt(F: Field, x, table, log_m: int):
+    """Single-kernel NTT along axis 1 of x: (NLIMBS, m, B) with m = 2^log_m
+    <= MAX_BASE.  `table` (NLIMBS, m//2): powers of the m-th root of unity.
+    Input must already be bit-reversed along the m axis; output natural."""
+    if jax.default_backend() == "cpu":
+        return _base_ntt_jnp(F, x, table, log_m)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..fields.pallas_ops import _mont_mul_body, _add_body, _sub_body
+
+    m = 1 << log_m
+    B = x.shape[2]
+    half = m // 2
+    tile = min(LANE_TILE, B)
+    while B % tile:
+        tile //= 2
+    grid = (B // tile,)
+
+    def kernel(x_ref, t_ref, o_ref):
+        v = [x_ref[i] for i in range(NLIMBS)]          # each (m, tile)
+        tw_all = [t_ref[i] for i in range(NLIMBS)]     # each (half,)
+        for s in range(1, log_m + 1):
+            bs = 1 << s
+            h = bs // 2
+            stride = m // bs
+            v = [l.reshape(m // bs, bs, tile) for l in v]
+            e = [l[:, :h] for l in v]
+            o = [l[:, h:] for l in v]
+            if s == 1:
+                t = o
+            else:
+                tw = [l[::stride][None, :, None] for l in tw_all]
+                t = _mont_mul_body(F, o, tw)
+            a = _add_body(F, e, t)
+            b = _sub_body(F, e, t)
+            v = [jnp.concatenate([ai, bi], axis=1).reshape(m, tile)
+                 for ai, bi in zip(a, b)]
+        for i in range(NLIMBS):
+            o_ref[i] = v[i]
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NLIMBS, m, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NLIMBS, half), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NLIMBS, m, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, m, B), jnp.uint32),
+    )(x, table)
+
+
+class FusedNTT:
+    """Cached tables + four-step transform for one (field, n, omega)."""
+
+    def __init__(self, F: Field, log_n: int, omega_int: int):
+        assert pow(omega_int, 1 << log_n, F.p) == 1
+        self.F = F
+        self.log_n = log_n
+        self.n = 1 << log_n
+        self.omega_int = omega_int
+        self.omega_inv_int = pow(omega_int, F.p - 2, F.p)
+        self.n_inv = F.encode_int(pow(self.n, F.p - 2, F.p))
+        self._tables: dict = {}
+        self._plan(log_n)
+
+    def _plan(self, log_m: int):
+        """Precompute tables for every recursion level."""
+        if log_m in self._tables:
+            return
+        if log_m <= 9:
+            for inv in (False, True):
+                w = self.omega_inv_int if inv else self.omega_int
+                wm = pow(w, self.n >> log_m, self.F.p)
+                tb = jnp.asarray(_pow_table_host(self.F, wm, max(1 << (log_m - 1), 1)).T)
+                self._tables[(log_m, inv, "base")] = tb
+            self._tables[log_m] = ("base",)
+            self._tables[(log_m, "rev")] = jnp.asarray(bit_reverse_indices(log_m))
+            return
+        l1 = min(9, (log_m + 1) // 2)
+        l2 = log_m - l1
+        n1, n2 = 1 << l1, 1 << l2
+        from .ntt import powers
+        for inv in (False, True):
+            w = self.omega_inv_int if inv else self.omega_int
+            wm = pow(w, self.n >> log_m, self.F.p)
+            # mid twiddle w_m^{k1*i2}: gather from the full power table via
+            # exponent (k1*i2 mod m) — one-time device build, cached
+            full = powers(self.F, self.F.encode_int(wm), 1 << log_m)
+            expo = (np.arange(n1, dtype=np.int64)[:, None]
+                    * np.arange(n2, dtype=np.int64)[None, :]) % (1 << log_m)
+            tw = jnp.take(full, jnp.asarray(expo.reshape(-1), jnp.int32),
+                          axis=0).reshape(n1, n2, NLIMBS)
+            self._tables[(log_m, inv, "mid")] = jnp.moveaxis(tw, -1, 0)
+        self._tables[log_m] = ("split", l1, l2)
+        self._plan(l1)
+        self._plan(l2)
+
+    def _ntt_mid(self, x, log_m: int, inv: bool):
+        """NTT along axis 1 of (NLIMBS, m, B)."""
+        F = self.F
+        plan = self._tables[log_m]
+        if plan[0] == "base":
+            rev = self._tables[(log_m, "rev")]
+            x = jnp.take(x, rev, axis=1)
+            return _base_ntt(F, x, self._tables[(log_m, inv, "base")], log_m)
+        _, l1, l2 = plan
+        n1, n2 = 1 << l1, 1 << l2
+        B = x.shape[2]
+        x = x.reshape(NLIMBS, n1, n2 * B)
+        x = self._ntt_mid(x, l1, inv)                     # over i1
+        x = x.reshape(NLIMBS, n1, n2, B)
+        tw = self._tables[(log_m, inv, "mid")]            # (L, n1, n2)
+        x = F.mul(jnp.moveaxis(x, 0, -1),
+                  jnp.moveaxis(tw, 0, -1)[..., None, :])
+        x = jnp.moveaxis(x, -1, 0)
+        x = jnp.swapaxes(x, 1, 2)                         # (L, n2, n1, B)
+        x = x.reshape(NLIMBS, n2, n1 * B)
+        x = self._ntt_mid(x, l2, inv)                     # over i2
+        return x.reshape(NLIMBS, n2 * n1, B)              # k2*n1 + k1 = k
+
+    def _transform(self, a, inv: bool):
+        F, n = self.F, self.n
+        assert a.shape[-2] == n
+        batch = a.shape[:-2]
+        B = 1
+        for d in batch:
+            B *= d
+        x = a.reshape(B, n, NLIMBS)
+        x = jnp.transpose(x, (2, 1, 0))                    # (L, n, B)
+        x = self._ntt_mid(x, self.log_n, inv)
+        x = jnp.transpose(x, (2, 1, 0)).reshape(batch + (n, NLIMBS))
+        return x
+
+    def forward(self, a):
+        return self._transform(a, False)
+
+    def inverse(self, a):
+        out = self._transform(a, True)
+        return self.F.mul(out, self.n_inv)

@@ -59,12 +59,23 @@ class NTT:
         self.omega_int = omega_int
         self.omega_inv_int = pow(omega_int, F.p - 2, F.p)
         self.n_inv_int = pow(self.n, F.p - 2, F.p)
-        # half-size power tables, built on device
-        self.tw_fwd = powers(F, F.encode_int(omega_int), max(self.n // 2, 1))
-        self.tw_inv = powers(F, F.encode_int(self.omega_inv_int),
-                             max(self.n // 2, 1))
+        # half-size power tables, built on device (only for the XLA
+        # stage-per-op path; n >= 2^10 uses the fused four-step tables)
+        if log_n < 10:
+            self.tw_fwd = powers(F, F.encode_int(omega_int),
+                                 max(self.n // 2, 1))
+            self.tw_inv = powers(F, F.encode_int(self.omega_inv_int),
+                                 max(self.n // 2, 1))
         self.n_inv = F.encode_int(self.n_inv_int)
         self._rev = jnp.asarray(bit_reverse_indices(log_n))
+
+    def _fused(self):
+        """Lazily-built four-step path (fused.py) for large n.  Must be
+        constructed OUTSIDE any jit trace (it builds device tables)."""
+        if not hasattr(self, "_fused_obj"):
+            from .fused import FusedNTT
+            self._fused_obj = FusedNTT(self.F, self.log_n, self.omega_int)
+        return self._fused_obj
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _transform(self, a, inverse: bool):
@@ -89,10 +100,14 @@ class NTT:
 
     def forward(self, a):
         """Coefficient form -> evaluations at omega^i (length-n axis -2)."""
+        if self.log_n >= 10:
+            return self._fused().forward(a)
         return self._transform(a, False)
 
     def inverse(self, a):
         """Evaluations -> coefficient form (includes the 1/n divisor)."""
+        if self.log_n >= 10:
+            return self._fused().inverse(a)
         out = self._transform(a, True)
         return self.F.mul(out, self.n_inv)
 

@@ -62,15 +62,29 @@ def kate_division(F: Field, poly, b):
     """
     n = poly.shape[-2]
     coeffs = jnp.flip(poly[..., 1:, :], axis=-2)       # c_{n-1} ... c_1
+    coeffs = jnp.moveaxis(coeffs, -2, 0)               # (n-1, ..., L)
+    m = coeffs.shape[0]
     mults = jnp.broadcast_to(b, coeffs.shape)
 
-    def combine(f, g):
-        # g after f: x -> g_m * (f_m * x + f_a) + g_a
-        fm, fa = f
-        gm, ga = g
-        return F.mul(fm, gm), F.add(F.mul(fa, gm), ga)
+    # Hillis-Steele scan over affine-map composition, fori_loop with dynamic
+    # shift so the field mul appears once in the program (see
+    # Field.batch_inv for the compile-size rationale).
+    rows = jnp.arange(m).reshape((m,) + (1,) * (coeffs.ndim - 1))
+    ident_m = F.ones(coeffs.shape[:-1])
+    ident_a = F.zeros(coeffs.shape[:-1])
 
-    _, acc = jax.lax.associative_scan(combine, (mults, coeffs), axis=-2)
+    def round_(r, fg):
+        fm, fa = fg
+        d = jnp.int32(1) << r
+        mask = rows >= d
+        gm = jnp.where(mask, jnp.roll(fm, d, axis=0), ident_m)
+        ga = jnp.where(mask, jnp.roll(fa, d, axis=0), ident_a)
+        # compose: f after g (g is the earlier prefix): x -> fm*(gm*x+ga)+fa
+        return F.mul(fm, gm), F.add(F.mul(ga, fm), fa)
+
+    _, acc = jax.lax.fori_loop(0, max((m - 1).bit_length(), 1), round_,
+                               (mults, coeffs))
+    acc = jnp.moveaxis(acc, 0, -2)
     # acc[j] = q value after folding c_{n-1}..c_{n-1-j}; q coefficients in
     # descending order -> flip back to ascending
     return jnp.flip(acc, axis=-2)

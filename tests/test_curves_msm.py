@@ -178,3 +178,53 @@ def test_windowed_msm_matches_naive():
     fast = engine(enc_s)
     slow = naive_msm(curve, enc_s, enc_p)
     assert bool(curve.eq(fast, slow))
+
+
+def test_msm_adversarial_distributions():
+    """Bucket accumulation must stay correct when every element lands in one
+    bucket (equal scalars), when scalars are zero, and when n is not a
+    multiple of the scan block (bucket_scan.py always-correct claim)."""
+    from halo2_tpu.msm.msm import CachedMSM
+    curve = VESTA
+    rng = random.Random(5)
+    n = 37                                      # not a multiple of block
+    g_aff = (curve.gen_x, curve.gen_y)
+    pts_aff = [py_mul(curve, g_aff, i + 1) for i in range(n)]
+    enc_p = curve.from_affine_ints(pts_aff)
+
+    same = rng.randrange(curve.Fr.p)
+    for scalars in ([same] * n,                 # one bucket owns every run
+                    [0] * n,                    # all-zero digits
+                    [1] * n,
+                    [rng.randrange(curve.Fr.p) for _ in range(n)]):
+        enc_s = curve.Fr.encode_ints(scalars)
+        slow = naive_msm(curve, enc_s, enc_p)
+        fast = pippenger_msm(curve, enc_s, enc_p, c=8, block=16)
+        assert bool(curve.eq(fast, slow))
+        engine = CachedMSM(curve, enc_p, c=8, block=16)
+        assert bool(curve.eq(engine(enc_s), slow))
+
+
+def test_fused_ntt_matches_stage_ntt():
+    """fused.FusedNTT (four-step split, the >=2^10 path) against the XLA
+    stage-per-op NTT and a naive DFT spot check."""
+    from halo2_tpu.fields import BN254_FR as F
+    from halo2_tpu.ntt.fused import FusedNTT
+    from halo2_tpu.ntt.ntt import NTT
+    rng = random.Random(11)
+    log_n = 10
+    w = pow(F.root_of_unity, 1 << (F.S - log_n), F.p)
+    fused = FusedNTT(F, log_n, w)
+    ref = NTT(F, 9, pow(w, 2, F.p))             # independent small reference
+    coeffs = [rng.randrange(F.p) for _ in range(1 << log_n)]
+    a = F.encode_ints(coeffs)
+    got = F.decode_ints(fused.forward(a))
+    for i in (0, 1, 513):
+        want = sum(c * pow(w, i * j, F.p) for j, c in enumerate(coeffs)) % F.p
+        assert got[i] == want
+    back = F.decode_ints(fused.inverse(fused.forward(a)))
+    assert back == coeffs
+    # batched
+    b = jnp.stack([a, F.add(a, F.ones((1 << log_n,)))])
+    gb = F.decode_ints(fused.forward(b))
+    assert gb[: 1 << log_n] == got

@@ -275,17 +275,23 @@ def bucket_sums(curve: Curve, keys, pts, inf, n_keys: int, block: int = 64):
 
 def weighted_bucket_fold(curve: Curve, buckets):
     """sum_{j>=1} j * B_j via two suffix-sum passes (Hillis-Steele doubling;
-    reference folds buckets serially — poly/ipa & kzg commit MSMs)."""
+    reference folds buckets serially — poly/ipa & kzg commit MSMs).
+
+    The doubling rounds run inside one fori_loop (dynamic roll + mask) so the
+    point-add kernel appears ONCE in the program — compile time stays flat in
+    bucket count."""
     def suffix(arr):
         k = arr.shape[0]
-        r = 0
-        while (1 << r) < k:
-            d = 1 << r
-            shifted = jnp.concatenate(
-                [arr[d:], curve.identity((d,))], axis=0)
-            arr = curve.add(arr, shifted)
-            r += 1
-        return arr
+        rows = jnp.arange(k)
+        ident = curve.identity((k,))
+
+        def round_(r, x):
+            d = jnp.int32(1) << r
+            shifted = jnp.where((rows + d < k)[:, None, None],
+                                jnp.roll(x, -d, axis=0), ident)
+            return curve.add(x, shifted)
+
+        return jax.lax.fori_loop(0, max((k - 1).bit_length(), 1), round_, arr)
 
     b = buckets[1:]               # drop bucket 0
     return suffix(suffix(b))[0]
@@ -309,9 +315,23 @@ def _digits(Fr, scalars_mont, c: int):
 
 
 def _sort_by_key(keys, cols):
-    """Sort (keys,) + value columns together; returns (keys_sorted, cols_sorted)."""
-    out = jax.lax.sort([keys] + list(cols), num_keys=1)
-    return out[0], out[1:]
+    """Sort (keys,) + value columns together; returns (keys_sorted, cols_sorted).
+
+    Implemented as a 2-operand (key, iota) sort followed by a row gather:
+    XLA's variadic sort compiles a comparator over ALL operands and takes
+    minutes (or segfaults LLVM on CPU) beyond a handful of columns, while a
+    take() permutation runs at HBM bandwidth — measured 0.1 ms for 2^17x33
+    uint32 on v5e vs >10 min compile for the 34-operand sort."""
+    keys_s, perm = sort_perm(keys)
+    stacked = jnp.stack(list(cols), axis=-1)
+    gathered = jnp.take(stacked, perm, axis=0)
+    return keys_s, [gathered[..., i] for i in range(len(cols))]
+
+
+def sort_perm(keys):
+    """(keys_sorted, permutation) via a 2-operand stable sort."""
+    n = keys.shape[0]
+    return jax.lax.sort([keys, jnp.arange(n, dtype=jnp.int32)], num_keys=1)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
@@ -334,14 +354,9 @@ def msm_windowed_cached(curve: Curve, scalars_mont, wbases, c: int = 8,
         ys = ys.reshape(n_windows, n_max, NLIMBS)[:, :n].reshape(-1, NLIMBS)
         inf = inf.reshape(n_windows, n_max)[:, :n].reshape(-1)
     keys = d.reshape(-1)
-    cols = ([xs[:, i] for i in range(NLIMBS)]
-            + [ys[:, i] for i in range(NLIMBS)]
-            + [inf.astype(jnp.uint32)])
-    keys_s, cols_s = _sort_by_key(keys, cols)
-    pts = jnp.stack(
-        [jnp.stack(cols_s[:NLIMBS], axis=-1),
-         jnp.stack(cols_s[NLIMBS:2 * NLIMBS], axis=-1)], axis=-2)
-    inf_s = cols_s[2 * NLIMBS] != 0
+    keys_s, perm = sort_perm(keys)
+    pts = jnp.take(jnp.stack([xs, ys], axis=-2), perm, axis=0)
+    inf_s = jnp.take(inf, perm, axis=0)
     buckets = bucket_sums(curve, keys_s, pts, inf_s, (1 << c) + 1, block)
     return weighted_bucket_fold(curve, buckets[:1 << c])
 
@@ -360,17 +375,11 @@ def msm_variable(curve: Curve, scalars_mont, points, c: int = 8,
     inf0 = curve.is_identity(points)
     keys = (d + jnp.arange(n_windows, dtype=jnp.int32)[:, None]
             * nb_keys).reshape(-1)
-    xs = jnp.tile(aff[:, 0, :], (n_windows, 1))
-    ys = jnp.tile(aff[:, 1, :], (n_windows, 1))
-    inf = jnp.tile(inf0, (n_windows,))
-    cols = ([xs[:, i] for i in range(NLIMBS)]
-            + [ys[:, i] for i in range(NLIMBS)]
-            + [inf.astype(jnp.uint32)])
-    keys_s, cols_s = _sort_by_key(keys, cols)
-    pts = jnp.stack(
-        [jnp.stack(cols_s[:NLIMBS], axis=-1),
-         jnp.stack(cols_s[NLIMBS:2 * NLIMBS], axis=-1)], axis=-2)
-    inf_s = cols_s[2 * NLIMBS] != 0
+    keys_s, perm = sort_perm(keys)
+    # the window-tiled point stream is aff[row % n]; gather straight from
+    # the n-row affine array instead of materializing the tile
+    pts = jnp.take(aff[:, :2, :], perm % n, axis=0)
+    inf_s = jnp.take(inf0, perm % n, axis=0)
     buckets = bucket_sums(curve, keys_s, pts, inf_s,
                           n_windows * nb_keys, block)
     buckets = buckets.reshape(n_windows, nb_keys, 3, NLIMBS)

@@ -26,8 +26,12 @@ import numpy as np
 from ..fields.field import Field, NLIMBS
 from .ntt import bit_reverse_indices
 
-MAX_BASE = 512       # largest single-kernel NTT (sublane dim of the block)
+MAX_BASE = 128       # largest single-kernel NTT (sublane dim of the block);
+                     # 128 keeps the kernel's live temps (~6 x 16*m*tile*4B)
+                     # + double-buffered I/O well under the 16MB scoped-VMEM
+                     # limit with full 128-lane tiles
 LANE_TILE = 128      # lanes per grid step
+LOG_MAX_BASE = 7
 
 
 def _pow_table_host(F: Field, base_int: int, n: int) -> np.ndarray:
@@ -48,15 +52,14 @@ def _base_ntt_jnp(F: Field, x, table, log_m: int):
     """Pure-jnp base NTT (CPU fallback), same contract as _base_ntt."""
     m = 1 << log_m
     xt = jnp.moveaxis(x, 0, -1)                         # (m, B, L)
-    tb = jnp.moveaxis(table, 0, -1)                     # (m//2, L)
+    tb = jnp.moveaxis(table, 0, -1)                     # (log_m, half, L)
     for s in range(1, log_m + 1):
         bs = 1 << s
         h = bs // 2
-        stride = m // bs
         v = xt.reshape(m // bs, bs, -1, NLIMBS)
         e = v[:, :h]
         o = v[:, h:]
-        t = o if s == 1 else F.mul(o, tb[::stride][None, :, None, :])
+        t = o if s == 1 else F.mul(o, tb[s - 1, :h][None, :, None, :])
         xt = jnp.concatenate([F.add(e, t), F.sub(e, t)], axis=1).reshape(
             m, -1, NLIMBS)
     return jnp.moveaxis(xt, -1, 0)
@@ -81,27 +84,32 @@ def _base_ntt(F: Field, x, table, log_m: int):
         tile //= 2
     grid = (B // tile,)
 
-    def kernel(x_ref, t_ref, o_ref):
-        v = [x_ref[i] for i in range(NLIMBS)]          # each (m, tile)
-        tw_all = [t_ref[i] for i in range(NLIMBS)]     # each (half,)
+    def kernel(x_ref, t_ref, o_ref, v_ref):
+        # each stage round-trips through the v_ref scratch so Mosaic's stack
+        # allocator can reuse the butterfly temporaries between the unrolled
+        # stages (pure-value chaining kept ALL stages' temps live at once
+        # and blew the 16MB scoped-VMEM limit)
         for s in range(1, log_m + 1):
             bs = 1 << s
             h = bs // 2
-            stride = m // bs
-            v = [l.reshape(m // bs, bs, tile) for l in v]
+            src = x_ref if s == 1 else v_ref
+            v = [src[i].reshape(m // bs, bs, tile) for i in range(NLIMBS)]
             e = [l[:, :h] for l in v]
             o = [l[:, h:] for l in v]
             if s == 1:
                 t = o
             else:
-                tw = [l[::stride][None, :, None] for l in tw_all]
+                # stage-packed twiddles: row s-1 holds wm^(stride*j), j<h —
+                # a static slice (Mosaic has no strided slice / 1-D gather)
+                tw = [t_ref[i][s - 1, :h][None, :, None]
+                      for i in range(NLIMBS)]
                 t = _mont_mul_body(F, o, tw)
             a = _add_body(F, e, t)
             b = _sub_body(F, e, t)
-            v = [jnp.concatenate([ai, bi], axis=1).reshape(m, tile)
-                 for ai, bi in zip(a, b)]
-        for i in range(NLIMBS):
-            o_ref[i] = v[i]
+            dst = o_ref if s == log_m else v_ref
+            for i in range(NLIMBS):
+                dst[i] = jnp.concatenate(
+                    [a[i], b[i]], axis=1).reshape(m, tile)
 
     return pl.pallas_call(
         kernel,
@@ -109,12 +117,18 @@ def _base_ntt(F: Field, x, table, log_m: int):
         in_specs=[
             pl.BlockSpec((NLIMBS, m, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NLIMBS, half), lambda i: (0, 0),
+            pl.BlockSpec((NLIMBS, max(log_m, 1), half), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((NLIMBS, m, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NLIMBS, m, B), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((NLIMBS, m, tile), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            # Mosaic's stack estimate keeps every unrolled stage's butterfly
+            # temps live; the default 16MB scoped-VMEM cap rejects that even
+            # though the true working set fits easily (v5e VMEM = 128MB)
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x, table)
 
 
@@ -136,16 +150,24 @@ class FusedNTT:
         """Precompute tables for every recursion level."""
         if log_m in self._tables:
             return
-        if log_m <= 9:
+        if log_m <= LOG_MAX_BASE:
+            half = max(1 << (log_m - 1), 1)
             for inv in (False, True):
                 w = self.omega_inv_int if inv else self.omega_int
                 wm = pow(w, self.n >> log_m, self.F.p)
-                tb = jnp.asarray(_pow_table_host(self.F, wm, max(1 << (log_m - 1), 1)).T)
-                self._tables[(log_m, inv, "base")] = tb
+                ptab = _pow_table_host(self.F, wm, half)   # (half, L)
+                # stage-packed: row s-1 = ptab[::stride][:h], h = 2^(s-1)
+                stage = np.zeros((max(log_m, 1), half, NLIMBS), np.uint32)
+                for s in range(1, log_m + 1):
+                    h = 1 << (s - 1)
+                    stride = (1 << log_m) >> s
+                    stage[s - 1, :h] = ptab[::stride][:h]
+                self._tables[(log_m, inv, "base")] = jnp.asarray(
+                    np.moveaxis(stage, -1, 0))             # (L, log_m, half)
             self._tables[log_m] = ("base",)
             self._tables[(log_m, "rev")] = jnp.asarray(bit_reverse_indices(log_m))
             return
-        l1 = min(9, (log_m + 1) // 2)
+        l1 = min(LOG_MAX_BASE, (log_m + 1) // 2)
         l2 = log_m - l1
         n1, n2 = 1 << l1, 1 << l2
         from .ntt import powers

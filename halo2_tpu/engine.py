@@ -1,0 +1,86 @@
+"""Acceleration-engine seam — the reference's ZAL layer
+(halo2_middleware/src/zal.rs:57-243) in TPU terms.
+
+The reference defines `MsmAccel` (an `msm` entry point plus a
+descriptor-caching API so an accelerator can keep bases resident) and
+`PlonkEngine`, the bundle handed to keygen/prover.  Here the "descriptors"
+are device-resident arrays: `get_base_descriptor` expands fixed bases into
+affine window tables once (HBM-resident), after which every MSM against them
+runs with zero doubling work; on a mesh the tables live sharded across chips
+(dist/msm.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+from .curves.curve import Curve
+from .msm.msm import CachedMSM, msm
+
+
+class H2cEngine:
+    """Default engine: straight Pippenger per call, no cached state
+    (zal.rs:119-177)."""
+
+    def msm(self, curve: Curve, coeffs, bases):
+        return msm(curve, coeffs, bases)
+
+    # descriptor API — the default engine just passes values through
+    def get_coeffs_descriptor(self, coeffs):
+        return coeffs
+
+    def get_base_descriptor(self, curve: Curve, bases):
+        return bases
+
+    def msm_with_cached_base(self, curve: Curve, coeffs, base_desc):
+        return msm(curve, coeffs, base_desc)
+
+
+class TpuMsmEngine(H2cEngine):
+    """Engine with HBM-resident window-base descriptors: fixed bases (the
+    SRS / Lagrange bases) are expanded once into affine window tables, so
+    repeated commitments cost one sort + one segmented scan each
+    (zal.rs:78-102 descriptor caching; msm/msm.py CachedMSM)."""
+
+    def __init__(self, c: int = 8, block: int = 64, mesh=None):
+        self.c = c
+        self.block = block
+        self.mesh = mesh
+        self._cache: Dict[int, Any] = {}
+
+    def get_base_descriptor(self, curve: Curve, bases):
+        key = id(bases)
+        if key not in self._cache:
+            if self.mesh is not None:
+                from .dist.msm import ShardedCachedMSM
+                self._cache[key] = ShardedCachedMSM(
+                    self.mesh, curve, bases, self.c, self.block)
+            else:
+                self._cache[key] = CachedMSM(curve, bases, self.c, self.block)
+        return self._cache[key]
+
+    def msm_with_cached_base(self, curve: Curve, coeffs, base_desc):
+        return base_desc(coeffs)
+
+
+@dataclass
+class PlonkEngine:
+    """The engine bundle threaded through keygen/prover
+    (zal.rs:182-243).  `msm_backend` must implement the `MsmAccel` surface
+    above; `mesh` is the device mesh for sharded execution (None =
+    single-chip)."""
+    msm_backend: H2cEngine = field(default_factory=H2cEngine)
+    mesh: Optional[Any] = None
+
+
+class PlonkEngineConfig:
+    """Type-state-builder equivalent (zal.rs:196-243)."""
+
+    @staticmethod
+    def build_default() -> PlonkEngine:
+        return PlonkEngine()
+
+    @staticmethod
+    def set_msm(engine: H2cEngine, mesh=None) -> PlonkEngine:
+        return PlonkEngine(msm_backend=engine, mesh=mesh)

@@ -17,5 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite is compile-bound on a small host
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/halo2_tpu/xla_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

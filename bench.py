@@ -77,25 +77,36 @@ def main():
     jax.block_until_ready(engine.wbases)
     log(f"window-base precompute: {time.time()-t0:.1f}s")
 
-    key = jax.random.PRNGKey(0)
-    limbs = jax.random.randint(key, (n, 16), 0, 1 << 16, dtype=jnp.int32)
-    scalars = F.to_mont(limbs.astype(jnp.uint32))
+    runs = 5
+    # distinct scalars per run: the remote-TPU tunnel dedupes dispatches of
+    # identical (executable, args) pairs, so repeating one input measures
+    # only round-trip latency
+    scal = []
+    for i in range(runs + 1):
+        limbs = jax.random.randint(jax.random.PRNGKey(i), (n, 16), 0,
+                                   1 << 16, dtype=jnp.int32)
+        scal.append(F.to_mont(limbs.astype(jnp.uint32)))
+    np.asarray(scal[-1][0])
+    t0 = time.time()
+    np.asarray(scal[0][0])
+    rtt = time.time() - t0
+    log(f"tunnel fetch rtt: {rtt*1e3:.1f} ms")
 
     t0 = time.time()
-    out = engine(scalars)
+    out = engine(scal[runs])
     np.asarray(out)
     log(f"msm compile+first: {time.time()-t0:.1f}s")
 
-    runs = 5
     t0 = time.time()
-    for _ in range(runs):
-        out = engine(scalars)
-    jax.block_until_ready(out)
-    msm_time = (time.time() - t0) / runs
+    outs = [engine(s) for s in scal[:runs]]
+    np.asarray(outs[-1][0])
+    msm_time = max(time.time() - t0 - rtt, 1e-9) / runs
     pps = n / msm_time
     log(f"msm: {msm_time*1e3:.1f} ms for 2^{k} points -> {pps:,.0f} points/s")
 
-    # ---- NTT secondary metric
+    # ---- NTT secondary metric (chained outputs are distinct inputs, so
+    # the dedupe concern above does not apply — but force completion with
+    # a fetch, not block_until_ready, which the tunnel treats as a no-op)
     ntt_k = 18
     ntt = get_ntt(F, ntt_k)
     a = F.ones((1 << ntt_k,))
@@ -106,8 +117,8 @@ def main():
     t0 = time.time()
     for _ in range(runs):
         out = ntt.forward(out)
-    jax.block_until_ready(out)
-    ntt_time = (time.time() - t0) / runs
+    np.asarray(out[0])
+    ntt_time = max(time.time() - t0 - rtt, 1e-9) / runs
     log(f"ntt 2^{ntt_k}: {ntt_time*1e3:.1f} ms -> "
         f"{(1 << ntt_k) / ntt_time:,.0f} elems/s")
 

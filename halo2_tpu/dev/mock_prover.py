@@ -10,8 +10,10 @@ stay host-side (set/multiset/cycle logic on small data).
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dataclass_field
 from typing import Dict, List, Optional
+
+from . import metadata
 
 import jax.numpy as jnp
 import numpy as np
@@ -27,11 +29,22 @@ from ..plonk.evaluation import evaluate_expression
 
 @dataclass
 class VerifyFailure:
-    kind: str         # gate | lookup | shuffle | permutation | instance
+    """dev/failure.rs:130-232 analog.  `kind` distinguishes the variants
+    (gate | cell_not_assigned | lookup | shuffle | permutation | instance);
+    `location` is a metadata.Region when the failure maps to a region, and
+    `cell_values` lists (VirtualCell, value) pairs for ConstraintNotSatisfied
+    the way the reference's emitter prints them."""
+    kind: str
     detail: str
+    location: object = None
+    cell_values: list = dataclass_field(default_factory=list)
 
     def __repr__(self):
-        return f"{self.kind}: {self.detail}"
+        loc = f" in {self.location}" if self.location is not None else ""
+        cells = ""
+        if self.cell_values:
+            cells = "".join(f"\n    {c} = {v}" for c, v in self.cell_values)
+        return f"{self.kind}: {self.detail}{loc}{cells}"
 
 
 class _MockAssignment:
@@ -52,18 +65,30 @@ class _MockAssignment:
         self.selectors = [[False] * self.n for _ in range(cs.num_selectors)]
         self.copies = []
         self.current_region = None
-        self.regions = []
+        self.regions = []        # [{index, name, rows, columns, selectors}]
+        self.assigned = set()    # {(kind, col_index, row)}
 
     def enter_region(self, name):
-        self.current_region = name
+        self.current_region = {
+            "index": len(self.regions), "name": str(name),
+            "rows": set(), "columns": set(), "selectors": []}
+        self.regions.append(self.current_region)
 
     def exit_region(self):
         self.current_region = None
+
+    def _touch(self, kind, col_index: int, row: int):
+        if self.current_region is not None:
+            self.current_region["rows"].add(row)
+            self.current_region["columns"].add((kind, col_index))
 
     def enable_selector(self, selector: Selector, row: int):
         if row >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
         self.selectors[selector.index][row] = True
+        if self.current_region is not None:
+            self.current_region["selectors"].append((selector.index, row))
+            self.current_region["rows"].add(row)
 
     def query_instance(self, column: Column, row: int) -> Value:
         col = self.instances[column.index]
@@ -76,16 +101,20 @@ class _MockAssignment:
     def assign_advice(self, column: Column, row: int, value: Value):
         if row >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
+        self._touch(ADVICE, column.index, row)
         if column.phase != self.phase:
             return
         if value.is_known():
             self.advice[column.index][row] = value.value() % self.F.p
+            self.assigned.add((ADVICE, column.index, row))
 
     def assign_fixed(self, column: Column, row: int, value: Value):
         if row >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
+        self._touch(FIXED, column.index, row)
         if value.is_known():
             self.fixed[column.index][row] = value.value() % self.F.p
+            self.assigned.add((FIXED, column.index, row))
 
     def copy(self, lcol, lrow, rcol, rrow):
         if lrow >= self.usable_rows or rrow >= self.usable_rows:
@@ -114,6 +143,8 @@ class MockProver:
         self.instances = instances
         self.challenges = challenges
         self.usable_rows = usable_rows
+        self.regions = []
+        self.assigned = set()
 
     @staticmethod
     def run(F: Field, k: int, circuit: Circuit,
@@ -135,6 +166,8 @@ class MockProver:
 
         fixed = advice = selectors = copies = None
         usable = None
+        regions = None
+        assigned = set()
         for phase in cs.phases():
             sink = _MockAssignment(F, k, cs, instances, phase, challenges)
             if advice is not None:
@@ -144,9 +177,15 @@ class MockProver:
             fixed, advice = sink.fixed, sink.advice
             selectors, copies = sink.selectors, sink.copies
             usable = sink.usable_rows
+            if regions is None:
+                regions = sink.regions   # identical shape every phase
+            assigned |= sink.assigned    # cells land in their own phase
 
-        return MockProver(F, k, cs, fixed, advice, selectors, copies,
-                          instances, challenges, usable)
+        prover = MockProver(F, k, cs, fixed, advice, selectors, copies,
+                            instances, challenges, usable)
+        prover.regions = regions or []
+        prover.assigned = assigned
+        return prover
 
     # ------------------------------------------------------------------
 
@@ -178,19 +217,29 @@ class MockProver:
         fixed, advice, instance, selectors, challenges = self._matrices()
         usable = self.usable_rows
 
+        # unassigned cells queried by a selector-enabled gate inside a
+        # region (dev.rs CellNotAssigned / failure.rs:130-146)
+        failures.extend(self._check_assigned())
+
         # gates: every row in the usable region
-        for gate in self.cs.gates:
-            for cname, poly in zip(gate.constraint_names, gate.polys):
+        for gidx, gate in enumerate(self.cs.gates):
+            gmeta = metadata.Gate(gidx, gate.name)
+            for cidx, (cname, poly) in enumerate(
+                    zip(gate.constraint_names, gate.polys)):
                 vals = evaluate_expression(
                     F, poly, fixed=fixed, advice=advice, instance=instance,
                     challenges=challenges, selectors=selectors)
                 nonzero = ~F.is_zero(vals[:usable])
                 if bool(jnp.any(nonzero)):
                     rows = np.nonzero(np.asarray(nonzero))[0][:5]
+                    row0 = int(rows[0])
+                    cmeta = metadata.Constraint(gmeta, cidx, cname)
                     failures.append(VerifyFailure(
                         "gate",
-                        f"constraint '{gate.name}::{cname}' not satisfied "
-                        f"at rows {list(map(int, rows))}"))
+                        f"{cmeta} not satisfied at rows "
+                        f"{list(map(int, rows))}",
+                        location=self._region_at(row0),
+                        cell_values=self._gate_cell_values(gate, row0)))
 
         # lookups: each input row value must appear in the table multiset
         for lk in self.cs.lookups:
@@ -226,6 +275,59 @@ class MockProver:
                     f"copy constraint {lcol}@{lrow} ({lv}) != "
                     f"{rcol}@{rrow} ({rv})"))
 
+        return failures
+
+    def _region_at(self, row: int):
+        """metadata.Region of the first region whose rows include `row`."""
+        for r in self.regions:
+            if row in r["rows"]:
+                return metadata.Region(r["index"], r["name"])
+        return None
+
+    def _gate_cell_values(self, gate, row: int):
+        """(VirtualCell, value) pairs for every cell the gate queries at
+        `row` — what the reference's failure emitter prints
+        (failure/emitter.rs)."""
+        out = []
+        for col, rot in gate.queried_cells:
+            r = (row + rot.i) % self.n
+            vc = metadata.VirtualCell(col.kind, col.index, rot.i)
+            out.append((vc, self._cell_value(col, r)))
+        return out
+
+    def _check_assigned(self) -> List[VerifyFailure]:
+        """For every selector enabled inside a region, every advice cell the
+        selector's gates query at that row must have been assigned."""
+        failures = []
+        seen = set()
+        gates_by_selector: Dict[int, list] = {}
+        for gidx, gate in enumerate(self.cs.gates):
+            for s in gate.queried_selectors:
+                gates_by_selector.setdefault(s.index, []).append(
+                    (gidx, gate))
+        for reg in self.regions:
+            for sel_idx, row in reg["selectors"]:
+                for gidx, gate in gates_by_selector.get(sel_idx, []):
+                    for col, rot in gate.queried_cells:
+                        if col.kind != ADVICE:
+                            continue
+                        r = row + rot.i
+                        if not (0 <= r < self.usable_rows):
+                            continue
+                        key = (col.index, r)
+                        if key in seen:
+                            continue
+                        if (ADVICE, col.index, r) not in self.assigned:
+                            seen.add(key)
+                            gmeta = metadata.Gate(gidx, gate.name)
+                            vc = metadata.VirtualCell(
+                                col.kind, col.index, rot.i)
+                            failures.append(VerifyFailure(
+                                "cell_not_assigned",
+                                f"{gmeta} queries {vc} at row {r}, which "
+                                f"was never assigned",
+                                location=metadata.Region(
+                                    reg["index"], reg["name"])))
         return failures
 
     def _eval_host(self, expr):

@@ -21,7 +21,8 @@ from jax.sharding import PartitionSpec as P
 
 from ..curves.curve import Curve
 from ..fields.field import NLIMBS
-from ..msm.bucket_scan import msm_variable, msm_windowed_cached
+from ..msm.bucket_scan import (msm_variable, msm_windowed_cached,
+                               pack_affine_rows, pad_width)
 from ..msm.msm import point_tree_sum, window_bases
 from .mesh import ROW_AXIS
 
@@ -71,35 +72,28 @@ class ShardedCachedMSM:
         flat = wb.reshape(-1, 3, NLIMBS)
         aff = curve.batch_normalize(flat)
         inf = curve.is_identity(flat)
-        xs = aff[:, 0, :].reshape(n_windows, self.n, NLIMBS)
-        ys = aff[:, 1, :].reshape(n_windows, self.n, NLIMBS)
-        inf = inf.reshape(n_windows, self.n)
+        pad = pad_width(flat.shape[0] // self.n_dev)
+        rows = pack_affine_rows(curve, aff[:, :2, :], inf, pad)
+        rows = rows.reshape(n_windows, self.n, pad)
         # resident sharded on the POINT axis (w replicated per shard)
         shard3 = jax.sharding.NamedSharding(mesh, P(None, ROW_AXIS, None))
-        shard2 = jax.sharding.NamedSharding(mesh, P(None, ROW_AXIS))
-        self.xs = jax.device_put(xs, shard3)
-        self.ys = jax.device_put(ys, shard3)
-        self.inf = jax.device_put(inf, shard2)
+        self.rows = jax.device_put(rows, shard3)
         self._fn = self._build()
 
     def _build(self):
         curve, c, block = self.curve, self.c, self.block
-        n_windows = 256 // c
 
         @functools.partial(
             shard_map, mesh=self.mesh,
-            in_specs=(P(ROW_AXIS, None), P(None, ROW_AXIS, None),
-                      P(None, ROW_AXIS, None), P(None, ROW_AXIS)),
+            in_specs=(P(ROW_AXIS, None), P(None, ROW_AXIS, None)),
             out_specs=P(), check_rep=False)
-        def go(s, xs, ys, inf):
-            wb = (xs.reshape(-1, NLIMBS), ys.reshape(-1, NLIMBS),
-                  inf.reshape(-1))
-            local = msm_windowed_cached(curve, s, wb, c, block)
+        def go(s, rows):
+            local = msm_windowed_cached(
+                curve, s, rows.reshape(-1, rows.shape[-1]), c, block)
             parts = jax.lax.all_gather(local, ROW_AXIS)
             return point_tree_sum(curve, parts)
 
-        del n_windows
         return jax.jit(go)
 
     def __call__(self, scalars_mont):
-        return self._fn(scalars_mont, self.xs, self.ys, self.inf)
+        return self._fn(scalars_mont, self.rows)

@@ -51,13 +51,18 @@ def _lift_affine(curve, xy, inf):
     return curve.from_affine_coords(xy, inf)
 
 
+def _as_xy(p):
+    """(…, 2L) flat affine limb rows -> (…, 2, L) coordinate view."""
+    return p.reshape(p.shape[:-1] + (2, NLIMBS))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _scan_level(curve: Curve, keys, pts, inf, block: int, affine: bool):
     """One segmented-scan level.
 
     keys: (M,) int32, non-decreasing; M divisible by block.
-    pts:  (M, 2, L) affine Montgomery coords if `affine` else (M, 3, L)
-          projective.
+    pts:  (M, 2*L) flat affine Montgomery limb rows if `affine` else
+          (M, 3, L) projective.
     inf:  (M,) bool — identity flags (only consulted when affine).
 
     Returns (finals, lane_keys): finals (M//block, 3, L) — the running sum of
@@ -80,8 +85,8 @@ def _scan_level(curve: Curve, keys, pts, inf, block: int, affine: bool):
         k, p, is_inf = x
         fresh = k != seg
         if affine:
-            started = _lift_affine(curve, p, is_inf)
-            added = curve.madd(acc, p, is_inf)
+            started = _lift_affine(curve, _as_xy(p), is_inf)
+            added = curve.madd(acc, _as_xy(p), is_inf)
         else:
             started = p
             added = curve.add(acc, p)
@@ -198,7 +203,8 @@ def _tails(curve: Curve, keys, pts, inf, block: int, n_keys: int,
     """For each key k, the sum of the trailing run elements that do NOT end
     at a lane boundary: elements [max(start_k, block*floor((end_k-1)/block)),
     end_k).  Returns (n_keys, 3, L) projective points (identity when the
-    run is empty or ends lane-aligned)."""
+    run is empty or ends lane-aligned).  pts is (M, 2L) flat affine when
+    `affine` else (M, 3, L) projective."""
     M = keys.shape[0]
     s = jnp.searchsorted(keys, jnp.arange(n_keys + 1, dtype=jnp.int32))
     start, end = s[:-1], s[1:]
@@ -218,7 +224,7 @@ def _tails(curve: Curve, keys, pts, inf, block: int, n_keys: int,
     def step(acc, x):
         p, is_inf = x
         if affine:
-            acc = curve.madd(acc, p, is_inf)
+            acc = curve.madd(acc, _as_xy(p), is_inf)
         else:
             acc = jnp.where(is_inf[..., None, None], acc, curve.add(acc, p))
         return acc, None
@@ -236,7 +242,7 @@ def _tails(curve: Curve, keys, pts, inf, block: int, n_keys: int,
 
 def bucket_sums(curve: Curve, keys, pts, inf, n_keys: int, block: int = 64):
     """Sum points grouped by key.  keys (M,) int32 SORTED non-decreasing in
-    [0, n_keys); pts (M, 2, L) affine Montgomery; inf (M,) bool.
+    [0, n_keys); pts (M, 2L) flat affine Montgomery limb rows; inf (M,) bool.
     Returns (n_keys, 3, L) projective bucket sums."""
     M = keys.shape[0]
     total = curve.identity((n_keys,))
@@ -248,7 +254,8 @@ def bucket_sums(curve: Curve, keys, pts, inf, n_keys: int, block: int = 64):
             keys = jnp.concatenate(
                 [keys, jnp.full((pad,), n_keys, jnp.int32)])
             if affine:
-                pts = jnp.concatenate([pts, curve.Fq.zeros((pad, 2))], axis=0)
+                pts = jnp.concatenate(
+                    [pts, jnp.zeros((pad, 2 * NLIMBS), jnp.uint32)], axis=0)
             else:
                 pts = jnp.concatenate([pts, curve.identity((pad,))], axis=0)
             inf = jnp.concatenate([inf, jnp.ones((pad,), jnp.bool_)])
@@ -266,7 +273,8 @@ def bucket_sums(curve: Curve, keys, pts, inf, n_keys: int, block: int = 64):
     def step(acc, x):
         k, p, is_inf = x
         hit = (jnp.arange(n_keys) == k) & ~is_inf
-        cand = curve.add(acc, jnp.broadcast_to(p, acc.shape))
+        pp = _lift_affine(curve, _as_xy(p), is_inf) if affine else p
+        cand = curve.add(acc, jnp.broadcast_to(pp, acc.shape))
         return jnp.where(hit[..., None, None], cand, acc), None
 
     total, _ = jax.lax.scan(step, total, (keys, pts, inf))
@@ -314,18 +322,37 @@ def _digits(Fr, scalars_mont, c: int):
             & ((1 << c) - 1)).T                            # (n_windows, n)
 
 
-def _sort_by_key(keys, cols):
-    """Sort (keys,) + value columns together; returns (keys_sorted, cols_sorted).
+def pad_width(rows: int) -> int:
+    """Lane-padded row width for the affine gather.
 
-    Implemented as a 2-operand (key, iota) sort followed by a row gather:
-    XLA's variadic sort compiles a comparator over ALL operands and takes
-    minutes (or segfaults LLVM on CPU) beyond a handful of columns, while a
-    take() permutation runs at HBM bandwidth — measured 0.1 ms for 2^17x33
-    uint32 on v5e vs >10 min compile for the 34-operand sort."""
-    keys_s, perm = sort_perm(keys)
-    stacked = jnp.stack(list(cols), axis=-1)
-    gathered = jnp.take(stacked, perm, axis=0)
-    return keys_s, [gathered[..., i] for i in range(len(cols))]
+    TPU gathers move whole 128-lane tiles per row: a (M, 33) uint32 row
+    gather reads the full 512B tile but does unaligned sub-tile writes —
+    measured 91 ms for 2^21 rows on v5e vs 22 ms when the rows are padded
+    to a full 128-lane tile (and 27 ms at 64).  Pad to 128 lanes while the
+    table stays under ~1 GB, 64 under ~2 GB, else store unpadded."""
+    if rows * 512 <= (1 << 31):
+        return 128
+    if rows * 256 <= (1 << 31):
+        return 64
+    return 2 * NLIMBS + 1
+
+
+def pack_affine_rows(curve: Curve, aff_xy, inf, pad: int):
+    """(n, 2, L) affine Montgomery coords + (n,) inf mask -> (n, pad)
+    uint32 rows laid out [x limbs | y limbs | inf | zeros] for tile-aligned
+    gathering."""
+    n = aff_xy.shape[0]
+    flat = aff_xy.reshape(n, 2 * NLIMBS)
+    cols = [flat, inf.astype(jnp.uint32)[:, None]]
+    extra = pad - (2 * NLIMBS + 1)
+    if extra > 0:
+        cols.append(jnp.zeros((n, extra), jnp.uint32))
+    return jnp.concatenate(cols, axis=1)
+
+
+def unpack_affine_rows(rows):
+    """(M, pad) gathered rows -> ((M, 2L) xy limbs, (M,) inf mask)."""
+    return rows[:, : 2 * NLIMBS], rows[:, 2 * NLIMBS] != 0
 
 
 def sort_perm(keys):
@@ -335,29 +362,26 @@ def sort_perm(keys):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def msm_windowed_cached(curve: Curve, scalars_mont, wbases, c: int = 8,
+def msm_windowed_cached(curve: Curve, scalars_mont, padded_rows, c: int = 8,
                         block: int = 64):
     """Fixed-base MSM against precomputed window bases in AFFINE form.
 
-    wbases: (x_cols, y_cols, inf) with x_cols/y_cols (n_windows*n_max, L)
-    uint32 Montgomery affine coords and inf (n_windows*n_max,) bool — the
-    window factor 2^(c*w) is baked into the bases, so all windows share one
-    256-bucket space (the ZAL descriptor-cache seam,
-    halo2_middleware/src/zal.rs:78-102)."""
-    xs, ys, inf = wbases
+    padded_rows: (n_windows*n_max, pad) uint32 tile-aligned rows from
+    `pack_affine_rows` — the window factor 2^(c*w) is baked into the bases,
+    so all windows share one 256-bucket space (the ZAL descriptor-cache
+    seam, halo2_middleware/src/zal.rs:78-102)."""
     n = scalars_mont.shape[0]
     n_windows = 256 // c
-    n_max = xs.shape[0] // n_windows
+    pad = padded_rows.shape[1]
+    n_max = padded_rows.shape[0] // n_windows
     d = _digits(curve.Fr, scalars_mont, c)                 # (n_windows, n)
     if n != n_max:
-        xs = xs.reshape(n_windows, n_max, NLIMBS)[:, :n].reshape(-1, NLIMBS)
-        ys = ys.reshape(n_windows, n_max, NLIMBS)[:, :n].reshape(-1, NLIMBS)
-        inf = inf.reshape(n_windows, n_max)[:, :n].reshape(-1)
+        padded_rows = padded_rows.reshape(
+            n_windows, n_max, pad)[:, :n].reshape(-1, pad)
     keys = d.reshape(-1)
     keys_s, perm = sort_perm(keys)
-    pts = jnp.take(jnp.stack([xs, ys], axis=-2), perm, axis=0)
-    inf_s = jnp.take(inf, perm, axis=0)
-    buckets = bucket_sums(curve, keys_s, pts, inf_s, (1 << c) + 1, block)
+    xy, inf_s = unpack_affine_rows(jnp.take(padded_rows, perm, axis=0))
+    buckets = bucket_sums(curve, keys_s, xy, inf_s, (1 << c) + 1, block)
     return weighted_bucket_fold(curve, buckets[:1 << c])
 
 
@@ -373,14 +397,14 @@ def msm_variable(curve: Curve, scalars_mont, points, c: int = 8,
     d = _digits(curve.Fr, scalars_mont, c)                 # (n_windows, n)
     aff = curve.batch_normalize(points)
     inf0 = curve.is_identity(points)
+    padded = pack_affine_rows(curve, aff[:, :2, :], inf0, pad_width(n))
     keys = (d + jnp.arange(n_windows, dtype=jnp.int32)[:, None]
             * nb_keys).reshape(-1)
     keys_s, perm = sort_perm(keys)
     # the window-tiled point stream is aff[row % n]; gather straight from
-    # the n-row affine array instead of materializing the tile
-    pts = jnp.take(aff[:, :2, :], perm % n, axis=0)
-    inf_s = jnp.take(inf0, perm % n, axis=0)
-    buckets = bucket_sums(curve, keys_s, pts, inf_s,
+    # the n-row padded affine table instead of materializing the tile
+    xy, inf_s = unpack_affine_rows(jnp.take(padded, perm % n, axis=0))
+    buckets = bucket_sums(curve, keys_s, xy, inf_s,
                           n_windows * nb_keys, block)
     buckets = buckets.reshape(n_windows, nb_keys, 3, NLIMBS)
 

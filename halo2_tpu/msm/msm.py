@@ -19,7 +19,8 @@ import numpy as np
 
 from ..curves.curve import Curve
 from ..fields.field import NLIMBS
-from .bucket_scan import msm_variable, msm_windowed_cached
+from .bucket_scan import (msm_variable, msm_windowed_cached,
+                          pack_affine_rows, pad_width)
 
 
 def point_tree_sum(curve: Curve, pts, axis: int = 0):
@@ -78,7 +79,9 @@ class CachedMSM:
     """Fixed-base MSM engine with resident AFFINE window bases (the
     `MsmAccel` descriptor API equivalent).  The window factor 2^(c*w) is
     baked into the bases, so every MSM is one sort + one segmented scan
-    over a single 2^c-bucket space."""
+    over a single 2^c-bucket space.  Bases live as tile-aligned padded
+    rows (bucket_scan.pad_width) so the by-digit gather moves whole
+    128-lane tiles."""
 
     def __init__(self, curve: Curve, points, c: int = 8, block: int = 64):
         self.curve = curve
@@ -87,9 +90,10 @@ class CachedMSM:
         self.n = points.shape[0]
         wb = window_bases(curve, points, c)                # (w, n, 3, L)
         flat = wb.reshape(-1, 3, NLIMBS)
-        aff = curve.batch_normalize(flat)                  # (w*n, 2, L)
+        aff = curve.batch_normalize(flat)                  # (w*n, 2+, L)
         inf = curve.is_identity(flat)
-        self.wbases = (aff[:, 0, :], aff[:, 1, :], inf)
+        self.wbases = pack_affine_rows(
+            curve, aff[:, :2, :], inf, pad_width(flat.shape[0]))
 
     def __call__(self, scalars_mont):
         return msm_windowed_cached(

@@ -183,7 +183,25 @@ def test_windowed_msm_matches_naive():
 def test_msm_adversarial_distributions():
     """Bucket accumulation must stay correct when every element lands in one
     bucket (equal scalars), when scalars are zero, and when n is not a
-    multiple of the scan block (bucket_scan.py always-correct claim)."""
+    multiple of the scan block (bucket_scan.py always-correct claim).
+
+    Runs in a subprocess: XLA:CPU deterministically segfaults compiling (or
+    deserializing the compile-cache entry for) this exact pippenger program
+    when the process has already JIT-compiled the e2e-proof tests' programs
+    — standalone, the same test always passes.  Isolating the process
+    sidesteps the upstream bug without losing the coverage."""
+    import os
+    import subprocess
+    import sys
+    if not os.environ.get("HALO2_MSM_ADV_INNER"):
+        env = dict(os.environ, HALO2_MSM_ADV_INNER="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             f"{__file__}::test_msm_adversarial_distributions"],
+            env=env, capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r.returncode == 0, f"isolated run failed:\n{r.stdout}\n{r.stderr}"
+        return
     from halo2_tpu.msm.msm import CachedMSM
     curve = VESTA
     rng = random.Random(5)

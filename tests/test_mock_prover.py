@@ -46,3 +46,55 @@ def test_too_small_k_fails():
     circuit, c = make()
     with pytest.raises(NotEnoughRowsAvailable):
         MockProver.run(F, 3, circuit, [[c]])
+
+
+class BrokenGateCircuit(SimpleCircuit):
+    """Enables the mul gate but witnesses a wrong product."""
+
+    def synthesize(self, config, layouter):
+        advice = config["advice"]
+
+        def closure(region):
+            config["s_mul"].enable(region, 0)
+            region.assign_advice(advice[0], 0, Value.known(2))
+            region.assign_advice(advice[1], 0, Value.known(3))
+            # wrong: 2*3 != 7
+            return region.assign_advice(advice[0], 1, Value.known(7))
+
+        cell = layouter.assign_region("bad mul", closure)
+        layouter.constrain_instance(cell.cell, config["instance"], 0)
+
+
+class UnassignedCellCircuit(SimpleCircuit):
+    """Enables the mul gate but never assigns the output cell."""
+
+    def synthesize(self, config, layouter):
+        advice = config["advice"]
+
+        def closure(region):
+            config["s_mul"].enable(region, 0)
+            region.assign_advice(advice[0], 0, Value.known(2))
+            return region.assign_advice(advice[1], 0, Value.known(3))
+
+        layouter.assign_region("incomplete mul", closure)
+
+
+def test_gate_failure_carries_region_and_cell_values():
+    prover = MockProver.run(F, K, BrokenGateCircuit(7), [[7]])
+    failures = prover.verify()
+    gate_fails = [f for f in failures if f.kind == "gate"]
+    assert gate_fails, "wrong product must fail the mul gate"
+    f = gate_fails[0]
+    assert f.location is not None and "bad mul" in f.location.name
+    vals = {str(c): v for c, v in f.cell_values}
+    assert vals["advice[0]"] == 2 and vals["advice[1]"] == 3
+    assert vals["advice[0]@+1"] == 7
+
+
+def test_unassigned_cell_detected():
+    prover = MockProver.run(F, K, UnassignedCellCircuit(0), [[]])
+    failures = prover.verify()
+    kinds = {f.kind for f in failures}
+    assert "cell_not_assigned" in kinds
+    f = [x for x in failures if x.kind == "cell_not_assigned"][0]
+    assert "incomplete mul" in f.location.name

@@ -45,7 +45,7 @@ def main():
     log("devices:", jax.devices())
     F = curve.Fr
 
-    k = 16
+    k = 17
     n = 1 << k
     log(f"building {n} points ...")
     t0 = time.time()

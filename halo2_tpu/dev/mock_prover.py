@@ -20,7 +20,7 @@ import numpy as np
 
 from ..fields.field import Field
 from ..frontend.circuit import (
-    Circuit, Value, NotEnoughRowsAvailable, SynthesisError,
+    Circuit, Value, NotEnoughRowsAvailable, SynthesisError, _reduce_value,
 )
 from ..frontend.constraint_system import ConstraintSystem
 from ..frontend.expression import ADVICE, FIXED, INSTANCE, Column, Selector
@@ -105,7 +105,7 @@ class _MockAssignment:
         if column.phase != self.phase:
             return
         if value.is_known():
-            self.advice[column.index][row] = value.value() % self.F.p
+            self.advice[column.index][row] = _reduce_value(value.value(), self.F.p)
             self.assigned.add((ADVICE, column.index, row))
 
     def assign_fixed(self, column: Column, row: int, value: Value):
@@ -113,7 +113,7 @@ class _MockAssignment:
             raise NotEnoughRowsAvailable(self.k)
         self._touch(FIXED, column.index, row)
         if value.is_known():
-            self.fixed[column.index][row] = value.value() % self.F.p
+            self.fixed[column.index][row] = _reduce_value(value.value(), self.F.p)
             self.assigned.add((FIXED, column.index, row))
 
     def copy(self, lcol, lrow, rcol, rrow):

@@ -11,9 +11,11 @@ from .circuit import (
     SynthesisError, NotEnoughRowsAvailable,
     CompiledCircuit, Preprocessing, compile_circuit, WitnessCalculator,
 )
+from .assigned import Assigned, batch_evaluate
 from .floor_planner_v1 import V1FloorPlanner
 
 __all__ = [
+    "Assigned", "batch_evaluate",
     "ADVICE", "FIXED", "INSTANCE", "FIRST_PHASE", "SECOND_PHASE",
     "THIRD_PHASE", "Column", "Selector", "Challenge", "Expression", "Rotation",
     "ConstraintSystem", "TableColumn", "Gate", "LookupArgument",

@@ -15,10 +15,19 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
+from .assigned import Assigned
 from .constraint_system import ConstraintSystem
 from .expression import (
     ADVICE, FIXED, INSTANCE, Column, Selector, Challenge, Rotation,
 )
+
+
+def _reduce_value(v, p: int) -> int:
+    """Materialize a witness payload: resolve a deferred-division
+    `Assigned` (one modular inversion) or reduce a plain int."""
+    if isinstance(v, Assigned):
+        return v.evaluate(p)
+    return int(v) % p
 
 
 class SynthesisError(Exception):
@@ -64,6 +73,18 @@ class Value:
     def and_then(self, fn) -> "Value":
         return fn(self._v) if self._v is not None else Value()
 
+    # Assigned lifting (value.rs:658-744 to_field/into_field)
+    def to_field(self) -> "Value":
+        """Wrap the payload as a deferred-division `Assigned`."""
+        return self.map(lambda v: v if isinstance(v, Assigned)
+                        else Assigned.trivial(v))
+
+    def into_field(self) -> "Value":
+        return self.to_field()
+
+    def cube(self) -> "Value":
+        return self.map(lambda v: v * v * v)
+
     # arithmetic combinators (reduction deferred to assignment)
     def __add__(self, other):
         other = other if isinstance(other, Value) else Value.known(other)
@@ -83,7 +104,12 @@ class Value:
     def square(self):
         return self.map(lambda v: v * v)
 
-    def invert(self, p: int) -> "Value":
+    def invert(self, p: int = None) -> "Value":
+        """With p: immediate modular inversion.  Without: deferred — lifts
+        to `Assigned` and swaps numerator/denominator (free until the cell
+        is materialized, where one batchable inversion resolves it)."""
+        if p is None:
+            return self.to_field().map(lambda a: a.invert())
         return self.map(lambda v: pow(v, p - 2, p) if v % p else 0)
 
     def __repr__(self):
@@ -321,7 +347,7 @@ class KeygenAssembly:
         if row >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
         if value.is_known():
-            self.fixed[column.index][row] = value.value() % self.p
+            self.fixed[column.index][row] = _reduce_value(value.value(), self.p)
 
     def copy(self, lcol: Column, lrow: int, rcol: Column, rrow: int):
         if lrow >= self.usable_rows or rrow >= self.usable_rows:
@@ -374,7 +400,7 @@ class WitnessCollection:
         if not value.is_known():
             raise SynthesisError(
                 f"unknown witness value at {column} row {row}")
-        self.advice[column.index][row] = value.value() % self.p
+        self.advice[column.index][row] = _reduce_value(value.value(), self.p)
 
     def assign_fixed(self, column, row, value):
         pass

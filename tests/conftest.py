@@ -23,3 +23,16 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU segfaults (in fresh compiles and in compile-cache
+    deserialization alike) once a process has accumulated enough live JIT
+    executables — the same program always works in a fresh process.
+    Dropping executables between modules keeps the resident JIT footprint
+    bounded; the persistent on-disk cache makes re-loads cheap."""
+    yield
+    jax.clear_caches()

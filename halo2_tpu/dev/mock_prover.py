@@ -212,10 +212,23 @@ class MockProver:
         return fixed, advice, instance, selectors, challenges
 
     def verify(self) -> List[VerifyFailure]:
+        return self.verify_at_rows(None, None)
+
+    def verify_at_rows(self, gate_rows, lookup_input_rows
+                       ) -> List[VerifyFailure]:
+        """Restrict gate checks to `gate_rows` and lookup-input checks to
+        `lookup_input_rows` (both iterables of row indices; None = all usable
+        rows) — dev.rs `verify_at_rows` (dev.rs:742-749), used by callers
+        that know which rows their sub-circuit occupies."""
         F = self.F
         failures: List[VerifyFailure] = []
         fixed, advice, instance, selectors, challenges = self._matrices()
         usable = self.usable_rows
+        gate_rows = (None if gate_rows is None else
+                     sorted(r for r in set(gate_rows) if 0 <= r < usable))
+        lookup_input_rows = (
+            None if lookup_input_rows is None else
+            sorted(r for r in set(lookup_input_rows) if 0 <= r < usable))
 
         # unassigned cells queried by a selector-enabled gate inside a
         # region (dev.rs CellNotAssigned / failure.rs:130-146)
@@ -229,8 +242,12 @@ class MockProver:
                 vals = evaluate_expression(
                     F, poly, fixed=fixed, advice=advice, instance=instance,
                     challenges=challenges, selectors=selectors)
-                nonzero = ~F.is_zero(vals[:usable])
-                if bool(jnp.any(nonzero)):
+                nonzero = np.asarray(~F.is_zero(vals[:usable]))
+                if gate_rows is not None:
+                    mask = np.zeros(usable, dtype=bool)
+                    mask[gate_rows] = True
+                    nonzero = nonzero & mask
+                if bool(np.any(nonzero)):
                     rows = np.nonzero(np.asarray(nonzero))[0][:5]
                     row0 = int(rows[0])
                     cmeta = metadata.Constraint(gmeta, cidx, cname)
@@ -246,7 +263,9 @@ class MockProver:
             inputs = [self._eval_host(e) for e in lk.input_expressions]
             tables = [self._eval_host(e) for e in lk.table_expressions]
             table_set = set(zip(*[t[:usable] for t in tables])) if tables else set()
-            for row in range(usable):
+            row_iter = (range(usable) if lookup_input_rows is None
+                        else lookup_input_rows)
+            for row in row_iter:
                 tup = tuple(col[row] for col in inputs)
                 if tup not in table_set:
                     failures.append(VerifyFailure(

@@ -16,7 +16,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..curves.curve import Curve
@@ -42,7 +42,7 @@ def sharded_msm(mesh, curve: Curve, scalars_mont, points, c: int = 8,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None, None)),
-        out_specs=P(), check_rep=False)
+        out_specs=P(), check_vma=False)
     def go(s, p):
         local = msm_variable(curve, s, p, c, block)         # (3, L)
         parts = jax.lax.all_gather(local, ROW_AXIS)          # (D, 3, L)
@@ -86,7 +86,7 @@ class ShardedCachedMSM:
         @functools.partial(
             shard_map, mesh=self.mesh,
             in_specs=(P(ROW_AXIS, None), P(None, ROW_AXIS, None)),
-            out_specs=P(), check_rep=False)
+            out_specs=P(), check_vma=False)
         def go(s, rows):
             local = msm_windowed_cached(
                 curve, s, rows.reshape(-1, rows.shape[-1]), c, block)

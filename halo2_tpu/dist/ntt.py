@@ -25,7 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..fields.field import Field
@@ -112,7 +112,7 @@ class ShardedNTT:
         @functools.partial(
             shard_map, mesh=self.mesh,
             in_specs=(P(ROW_AXIS, None, None), P(ROW_AXIS, None)),
-            out_specs=P(ROW_AXIS, None), check_rep=False)
+            out_specs=P(ROW_AXIS, None), check_vma=False)
         def go(x, tw_base):
             # x: (n1/D, n2, L) row slab; tw_base: (n2/D, L) = w^(i2) slice
             x = jax.lax.all_to_all(x, ROW_AXIS, split_axis=1, concat_axis=0,

@@ -14,7 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..fields.field import Field
@@ -30,7 +30,7 @@ def sharded_prefix_product(mesh, F: Field, a):
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=P(ROW_AXIS, None),
-                       out_specs=P(ROW_AXIS, None), check_rep=False)
+                       out_specs=P(ROW_AXIS, None), check_vma=False)
     def go(x):
         loc = prefix_product(F, x)                     # (n/D, L)
         totals = jax.lax.all_gather(loc[-1], ROW_AXIS)  # (D, L)

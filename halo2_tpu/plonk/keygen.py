@@ -173,10 +173,12 @@ class VerifyingKey:
         self.k = k
         self.transcript_repr = self._compute_repr()
 
-    def _compute_repr(self) -> int:
-        """Pinned-vk hash (plonk.rs:189-202): Blake2b with the
-        Halo2-Verify-Key personalization over a canonical description."""
-        h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
+    def pinned(self) -> str:
+        """Canonical description of everything consensus-critical about this
+        vk — the analog of the reference's `PinnedVerificationKey` Debug
+        format (plonk.rs:205-231), used both as the transcript_repr preimage
+        and as the golden-vector regression anchor (the reference pins the
+        whole string in plonk_api.rs:659-1120)."""
         parts = [
             f"base_modulus={self.curve.Fq.p:#x}",
             f"scalar_modulus={self.F.p:#x}",
@@ -204,7 +206,13 @@ class VerifyingKey:
                                   sh.input_expressions + sh.shuffle_expressions))
         for pt in self.fixed_commitments + self.permutation.commitments:
             parts.append(str(pt))
-        h.update(";".join(parts).encode())
+        return ";".join(parts)
+
+    def _compute_repr(self) -> int:
+        """Pinned-vk hash (plonk.rs:189-202): Blake2b with the
+        Halo2-Verify-Key personalization over the pinned description."""
+        h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
+        h.update(self.pinned().encode())
         return self.F.from_uniform_bytes(h.digest())
 
     def hash_into(self, transcript):

@@ -195,3 +195,67 @@ class PhaseCircuit(Circuit):
                 region.assign_advice(config["b"], i, av.value() * theta)
 
         layouter.assign_region("rows", fill)
+
+
+class _VectorOpsBase(Circuit):
+    """vector-ops-unblinded.rs: elementwise vector op with the two input
+    columns unblinded, so two circuits proved independently (even on
+    different hosts) produce byte-identical input-column commitments."""
+
+    OP = None  # "mul" | "add"
+
+    def __init__(self, a=None, b=None, n_rows=None):
+        self.a = a
+        self.b = b
+        self.n_rows = n_rows if n_rows is not None else len(a or [])
+
+    def without_witnesses(self):
+        return type(self)(None, None, self.n_rows)
+
+    def configure(self, meta: ConstraintSystem):
+        a = meta.unblinded_advice_column()
+        b = meta.unblinded_advice_column()
+        out = meta.advice_column()
+        instance = meta.instance_column()
+        meta.enable_equality(out)
+        meta.enable_equality(instance)
+        q = meta.selector()
+
+        def gate(cells):
+            qv = cells.query_selector(q)
+            av = cells.query_advice(a, Rotation.cur())
+            bv = cells.query_advice(b, Rotation.cur())
+            ov = cells.query_advice(out, Rotation.cur())
+            lhs = av * bv if self.OP == "mul" else av + bv
+            return [qv * (lhs - ov)]
+
+        meta.create_gate(self.OP, gate)
+        return {"a": a, "b": b, "out": out, "instance": instance, "q": q}
+
+    def synthesize(self, config, layouter: Layouter):
+        def fill(region):
+            cells = []
+            for i in range(self.n_rows):
+                config["q"].enable(region, i)
+                av = (Value.known(self.a[i]) if self.a is not None
+                      else Value.unknown())
+                bv = (Value.known(self.b[i]) if self.b is not None
+                      else Value.unknown())
+                ac = region.assign_advice(config["a"], i, av)
+                bc = region.assign_advice(config["b"], i, bv)
+                o = (ac.value() * bc.value() if self.OP == "mul"
+                     else ac.value() + bc.value())
+                cells.append(region.assign_advice(config["out"], i, o))
+            return cells
+
+        out_cells = layouter.assign_region("rows", fill)
+        for i, cell in enumerate(out_cells):
+            layouter.constrain_instance(cell.cell, config["instance"], i)
+
+
+class UnblindedMulCircuit(_VectorOpsBase):
+    OP = "mul"
+
+
+class UnblindedAddCircuit(_VectorOpsBase):
+    OP = "add"

@@ -98,3 +98,25 @@ def test_unassigned_cell_detected():
     assert "cell_not_assigned" in kinds
     f = [x for x in failures if x.kind == "cell_not_assigned"][0]
     assert "incomplete mul" in f.location.name
+
+
+def test_verify_at_rows_scopes_gate_checks():
+    """verify_at_rows (dev.rs:742-749): a failing gate row outside the
+    requested row set is not reported; inside, it is."""
+    circuit = BrokenGateCircuit(7, Value.known(2), Value.known(3))
+    prover = MockProver.run(PASTA_FP, 5, circuit, [[0]])
+    all_failures = prover.verify()
+    assert all_failures
+    # rows where failures were reported
+    bad_rows = set()
+    for f in all_failures:
+        import re
+        m = re.search(r"rows \[([0-9, ]+)\]", f.detail)
+        if m:
+            bad_rows.update(int(x) for x in m.group(1).split(","))
+    assert bad_rows
+    ok_rows = [r for r in range(prover.usable_rows) if r not in bad_rows]
+    scoped = prover.verify_at_rows(ok_rows, ok_rows)
+    assert not [f for f in scoped if f.kind == "gate"]
+    scoped_bad = prover.verify_at_rows(sorted(bad_rows), None)
+    assert [f for f in scoped_bad if f.kind == "gate"]

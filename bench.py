@@ -73,7 +73,7 @@ def main():
     log(f"point gen: {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    engine = CachedMSM(curve, pts, c=8, block=64)
+    engine = CachedMSM(curve, pts, block=64)
     jax.block_until_ready(engine.wbases)
     log(f"window-base precompute: {time.time()-t0:.1f}s")
 

@@ -23,6 +23,7 @@ from ..curves.curve import Curve
 from ..fields.field import NLIMBS
 from ..msm.bucket_scan import (msm_variable, msm_windowed_cached,
                                pack_affine_rows, pad_width)
+from ..msm.bucket_scan import n_windows_for
 from ..msm.msm import point_tree_sum, window_bases
 from .mesh import ROW_AXIS
 
@@ -58,16 +59,18 @@ class ShardedCachedMSM:
     partitioned in the chips' HBM; each MSM sends one point per chip.
     """
 
-    def __init__(self, mesh, curve: Curve, points, c: int = 8,
+    def __init__(self, mesh, curve: Curve, points, c: int | None = None,
                  block: int = 64):
+        from ..msm.msm import auto_c
         self.mesh = mesh
         self.curve = curve
-        self.c = c
+        n_dev_ = mesh.shape[ROW_AXIS]
+        self.c = c = auto_c(points.shape[0] // n_dev_) if c is None else c
         self.block = block
         self.n = points.shape[0]
         self.n_dev = mesh.shape[ROW_AXIS]
         assert self.n % self.n_dev == 0
-        n_windows = 256 // c
+        n_windows = n_windows_for(curve.Fr, c)
         wb = window_bases(curve, points, c)                  # (w, n, 3, L)
         flat = wb.reshape(-1, 3, NLIMBS)
         aff = curve.batch_normalize(flat)

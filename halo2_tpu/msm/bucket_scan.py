@@ -40,6 +40,7 @@ from ..curves.curve import Curve
 from ..fields.field import NLIMBS, _use_pallas
 
 LANES = 1024     # lane-tile width for the Pallas scan kernel
+SENTINEL_KEY = 1 << 30   # sorts after every real bucket key; marked inf
 
 
 # ----------------------------------------------------------------------
@@ -57,13 +58,16 @@ def _as_xy(p):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
-def _scan_level(curve: Curve, keys, pts, inf, block: int, affine: bool):
+def _scan_level(curve: Curve, keys, pts, inf, block: int, affine: bool,
+                signs=None):
     """One segmented-scan level.
 
     keys: (M,) int32, non-decreasing; M divisible by block.
     pts:  (M, 2*L) flat affine Montgomery limb rows if `affine` else
           (M, 3, L) projective.
     inf:  (M,) bool — identity flags (only consulted when affine).
+    signs: optional (M,) bool — lanes whose affine point enters negated
+          (y := -y), folded into the kernel's flag row (signed-digit MSM).
 
     Returns (finals, lane_keys): finals (M//block, 3, L) — the running sum of
     the LAST run-piece in each lane; lane_keys (M//block,) — that run's key.
@@ -73,7 +77,10 @@ def _scan_level(curve: Curve, keys, pts, inf, block: int, affine: bool):
     assert nb * block == M
 
     if _use_pallas() and nb % 8 == 0 and nb >= 8:
-        return _scan_level_pallas(curve, keys, pts, inf, block, affine)
+        return _scan_level_pallas(curve, keys, pts, inf, block, affine,
+                                  signs)
+    if affine and signs is not None:
+        pts = _negate_y_where(curve.Fq, pts, signs)
 
     # jnp fallback: lax.scan over the block dimension
     kT = jnp.moveaxis(keys.reshape(nb, block), 1, 0)          # (block, nb)
@@ -98,26 +105,50 @@ def _scan_level(curve: Curve, keys, pts, inf, block: int, affine: bool):
     return finals, lane_keys
 
 
-def _scan_level_pallas(curve, keys, pts, inf, block, affine):
+def _scan_level_pallas(curve, keys, pts, inf, block, affine, signs=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..curves.pallas_ec import _madd_body_ec, _add_body_ec
-    from ..fields.pallas_ops import _mont_mul_body  # noqa: F401 (kernel dep)
+    from ..fields.pallas_ops import _mont_mul_body, _sub_body  # noqa: F401
 
     M = keys.shape[0]
     nb = M // block
-    lanes = min(LANES, nb)
-    while nb % lanes:
-        lanes //= 2
+    # Mosaic tiling: the lane (last) dim of a block must be a multiple of
+    # 128 or equal to the whole array dim.  nb <= LANES: one tile, lanes=nb
+    # (equal-to-array).  Else pad nb to a multiple of 128 with sentinel
+    # lanes (key = SENTINEL_KEY > any bucket key, so the stream stays
+    # sorted for the next level's searchsorted) and pick a dividing tile.
+    if nb > LANES:
+        pad_nb = (-nb) % 128
+        if pad_nb:
+            keys = jnp.concatenate(
+                [keys, jnp.full((pad_nb * block,), SENTINEL_KEY, jnp.int32)])
+            pts = jnp.concatenate(
+                [pts, jnp.zeros((pad_nb * block,) + pts.shape[1:],
+                                pts.dtype)])
+            inf = jnp.concatenate(
+                [inf, jnp.ones((pad_nb * block,), jnp.bool_)])
+            if signs is not None:
+                signs = jnp.concatenate(
+                    [signs, jnp.zeros((pad_nb * block,), jnp.bool_)])
+            nb += pad_nb
+            M = nb * block
+        lanes = LANES
+        while nb % lanes:
+            lanes //= 2
+    else:
+        lanes = nb
     n_tiles = nb // lanes
     F = curve.Fq
     ncoord = 2 if affine else 3
-    nrows = ncoord * NLIMBS + 1    # +1 row: inf flag (affine) / unused
+    nrows = ncoord * NLIMBS + 1    # +1 row: flags (affine) / unused
 
     # layout: (block, nrows, nb) — step-major so each grid step streams one
     # (1, nrows, lanes) tile; limb rows map onto sublanes, lanes onto lanes.
     flat = pts.reshape(nb, block, ncoord * NLIMBS)
     extra = (inf if affine else jnp.zeros_like(inf)).astype(jnp.uint32)
+    if affine and signs is not None:
+        extra = extra | (signs.astype(jnp.uint32) << 1)
     flat = jnp.concatenate(
         [flat, extra.reshape(nb, block, 1)], axis=-1)
     pT = jnp.transpose(flat, (1, 2, 0))                    # (block, nrows, nb)
@@ -141,7 +172,13 @@ def _scan_level_pallas(curve, keys, pts, inf, block, affine):
         if affine:
             x2 = [p_ref[0, i] for i in range(NLIMBS)]
             y2 = [p_ref[0, NLIMBS + i] for i in range(NLIMBS)]
-            is_inf = p_ref[0, 2 * NLIMBS] != 0
+            flags = p_ref[0, 2 * NLIMBS]
+            is_inf = (flags & 1) != 0
+            if signs is not None:
+                neg = (flags & 2) != 0
+                zeros = [jnp.zeros((lanes,), jnp.uint32)] * NLIMBS
+                ny = _sub_body(F, zeros, y2)
+                y2 = [jnp.where(neg, nv, v) for nv, v in zip(ny, y2)]
             X3, Y3, Z3 = _madd_body_ec(curve, (X1, Y1, Z1), (x2, y2), is_inf)
             zero = jnp.zeros((lanes,), jnp.uint32)
             sx = [jnp.where(is_inf, zero, v) for v in x2]
@@ -199,7 +236,7 @@ def _scan_level_pallas(curve, keys, pts, inf, block, affine):
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _tails(curve: Curve, keys, pts, inf, block: int, n_keys: int,
-           affine: bool):
+           affine: bool, signs=None):
     """For each key k, the sum of the trailing run elements that do NOT end
     at a lane boundary: elements [max(start_k, block*floor((end_k-1)/block)),
     end_k).  Returns (n_keys, 3, L) projective points (identity when the
@@ -216,33 +253,45 @@ def _tails(curve: Curve, keys, pts, inf, block: int, n_keys: int,
     pos = a[:, None] + jnp.arange(block)[None, :]          # (n_keys, block)
     valid = jnp.arange(block)[None, :] < take[:, None]
     pos = jnp.clip(pos, 0, M - 1)
-    g_pts = jnp.take(pts, pos.reshape(-1), axis=0).reshape(
-        (n_keys, block) + pts.shape[1:])
-    g_inf = jnp.take(inf, pos.reshape(-1), axis=0).reshape(n_keys, block)
-    g_inf = g_inf | ~valid
+    flat_pos = pos.reshape(-1)
+    g_pts = jnp.take(pts, flat_pos, axis=0)
+    g_inf = (jnp.take(inf, flat_pos, axis=0)
+             | ~valid.reshape(-1))                         # (n_keys*block,)
+    g_signs = (jnp.take(signs, flat_pos, axis=0)
+               if (affine and signs is not None) else None)
+    if not affine:
+        # the projective scan path trusts the point data (complete formulas,
+        # no flag row): invalid rows must BE the identity
+        g_pts = jnp.where(g_inf[:, None, None], curve.identity(()), g_pts)
 
-    def step(acc, x):
-        p, is_inf = x
-        if affine:
-            acc = curve.madd(acc, _as_xy(p), is_inf)
-        else:
-            acc = jnp.where(is_inf[..., None, None], acc, curve.add(acc, p))
-        return acc, None
-
-    init = curve.identity((n_keys,))
-    acc, _ = jax.lax.scan(
-        step, init,
-        (jnp.moveaxis(g_pts, 1, 0), jnp.moveaxis(g_inf, 1, 0)))
-    return acc
+    # each key's tail occupies EXACTLY one block-sized lane of the gathered
+    # stream, so one segmented-scan level over it yields the per-key tail
+    # sums directly as the lane finals (vs. a block-step lax.scan of madds,
+    # which dispatches block sequential adds on a (n_keys,) array)
+    nk_pad = -(-n_keys // 8) * 8
+    if nk_pad != n_keys:
+        extra = (nk_pad - n_keys) * block
+        g_pts = jnp.concatenate(
+            [g_pts, jnp.zeros((extra,) + g_pts.shape[1:], g_pts.dtype)])
+        g_inf = jnp.concatenate([g_inf, jnp.ones((extra,), jnp.bool_)])
+        if g_signs is not None:
+            g_signs = jnp.concatenate(
+                [g_signs, jnp.zeros((extra,), jnp.bool_)])
+    lane_keys_in = jnp.repeat(jnp.arange(nk_pad, dtype=jnp.int32), block)
+    finals, _lk = _scan_level(curve, lane_keys_in, g_pts, g_inf, block,
+                              affine, g_signs)
+    return finals[:n_keys]
 
 
 # ----------------------------------------------------------------------
 # bucket reduction: sorted (key, point) stream -> per-key sums
 # ----------------------------------------------------------------------
 
-def bucket_sums(curve: Curve, keys, pts, inf, n_keys: int, block: int = 64):
+def bucket_sums(curve: Curve, keys, pts, inf, n_keys: int, block: int = 64,
+                signs=None):
     """Sum points grouped by key.  keys (M,) int32 SORTED non-decreasing in
-    [0, n_keys); pts (M, 2L) flat affine Montgomery limb rows; inf (M,) bool.
+    [0, n_keys); pts (M, 2L) flat affine Montgomery limb rows; inf (M,) bool;
+    signs: optional (M,) bool — affine rows entering with y negated.
     Returns (n_keys, 3, L) projective bucket sums."""
     M = keys.shape[0]
     total = curve.identity((n_keys,))
@@ -256,18 +305,25 @@ def bucket_sums(curve: Curve, keys, pts, inf, n_keys: int, block: int = 64):
             if affine:
                 pts = jnp.concatenate(
                     [pts, jnp.zeros((pad, 2 * NLIMBS), jnp.uint32)], axis=0)
+                if signs is not None:
+                    signs = jnp.concatenate(
+                        [signs, jnp.zeros((pad,), jnp.bool_)])
             else:
                 pts = jnp.concatenate([pts, curve.identity((pad,))], axis=0)
             inf = jnp.concatenate([inf, jnp.ones((pad,), jnp.bool_)])
             M += pad
-        t = _tails(curve, keys, pts, inf, block, n_keys, affine)
+        t = _tails(curve, keys, pts, inf, block, n_keys, affine, signs)
         total = curve.add(total, t)
-        pts, keys = _scan_level(curve, keys, pts, inf, block, affine)
+        pts, keys = _scan_level(curve, keys, pts, inf, block, affine, signs)
         inf = curve.is_identity(pts) | (keys >= n_keys) | (keys < 0)
         affine = False
+        signs = None
         M = keys.shape[0]
         level += 1
         assert level < 8, "bucket_sums failed to converge"
+
+    if affine and signs is not None:
+        pts = _negate_y_where(curve.Fq, pts, signs)
 
     # final <= block elements: one-hot accumulate over all keys at once
     def step(acc, x):
@@ -322,6 +378,53 @@ def _digits(Fr, scalars_mont, c: int):
             & ((1 << c) - 1)).T                            # (n_windows, n)
 
 
+def n_windows_for(Fr, c: int) -> int:
+    """Window count for the signed-digit decomposition: c*nw >= bits+2
+    guarantees the top balanced digit absorbs the final carry (the top raw
+    digit is < 2^(c-2), so raw+carry < 2^(c-1) and no new carry is born)."""
+    return -(-(Fr.p.bit_length() + 2) // c)
+
+
+def _signed_digits(Fr, scalars_mont, c: int):
+    """Balanced (signed) base-2^c decomposition — halves the bucket space:
+    scalar = sum_w d_w * 2^(c*w) with d_w in [-2^(c-1), 2^(c-1)-1] (plus the
+    non-negative top digit).  Returns (keys, signs): keys (nw, n) int32 =
+    |d_w| in [0, 2^(c-1)]; signs (nw, n) bool.  Any 2 <= c <= 16."""
+    assert 2 <= c <= 16
+    limbs = Fr.from_mont(scalars_mont)                     # (n, 16) uint32
+    n = limbs.shape[0]
+    nw = n_windows_for(Fr, c)
+    limbs = jnp.concatenate(
+        [limbs, jnp.zeros((n, 1), jnp.uint32)], axis=1)    # guard limb
+    off = np.arange(nw) * c
+    li, sh = off // 16, off % 16
+    lo = limbs[:, li]
+    hi = limbs[:, li + 1]
+    raw = (((lo | (hi << 16)) >> sh[None, :])
+           & jnp.uint32((1 << c) - 1)).astype(jnp.int32)    # (n, nw)
+    half, full = 1 << (c - 1), 1 << c
+
+    # unrolled carry chain (nw <= 64 steps, fused into one XLA kernel —
+    # lax.scan pays a dynamic-update-slice round trip per step)
+    ds = []
+    carry = jnp.zeros((n,), jnp.int32)
+    for w in range(nw):
+        d = raw[:, w] + carry
+        over = d >= half
+        ds.append(jnp.where(over, d - full, d))
+        carry = over.astype(jnp.int32)
+    ds = jnp.stack(ds)                                      # (nw, n)
+    return jnp.abs(ds), ds < 0                              # (nw, n) each
+
+
+def _negate_y_where(Fq, xy, signs):
+    """(M, 2L) flat affine rows -> same with y := -y on flagged lanes."""
+    x, y = xy[:, :NLIMBS], xy[:, NLIMBS:]
+    neg = Fq.sub(jnp.zeros_like(y), y)
+    return jnp.concatenate(
+        [x, jnp.where(signs[:, None], neg, y)], axis=1)
+
+
 def pad_width(rows: int) -> int:
     """Lane-padded row width for the affine gather.
 
@@ -362,27 +465,30 @@ def sort_perm(keys):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def msm_windowed_cached(curve: Curve, scalars_mont, padded_rows, c: int = 8,
+def msm_windowed_cached(curve: Curve, scalars_mont, padded_rows, c: int = 13,
                         block: int = 64):
     """Fixed-base MSM against precomputed window bases in AFFINE form.
 
     padded_rows: (n_windows*n_max, pad) uint32 tile-aligned rows from
     `pack_affine_rows` — the window factor 2^(c*w) is baked into the bases,
-    so all windows share one 256-bucket space (the ZAL descriptor-cache
-    seam, halo2_middleware/src/zal.rs:78-102)."""
+    so all windows share one bucket space (the ZAL descriptor-cache seam,
+    halo2_middleware/src/zal.rs:78-102).  Balanced signed digits halve the
+    bucket space to 2^(c-1)+1 and allow any window width c: negating a
+    gathered base (y := -y) is one masked vector pass."""
     n = scalars_mont.shape[0]
-    n_windows = 256 // c
+    n_windows = n_windows_for(curve.Fr, c)
     pad = padded_rows.shape[1]
     n_max = padded_rows.shape[0] // n_windows
-    d = _digits(curve.Fr, scalars_mont, c)                 # (n_windows, n)
+    keys, signs = _signed_digits(curve.Fr, scalars_mont, c)
     if n != n_max:
         padded_rows = padded_rows.reshape(
             n_windows, n_max, pad)[:, :n].reshape(-1, pad)
-    keys = d.reshape(-1)
-    keys_s, perm = sort_perm(keys)
+    keys_s, perm = sort_perm(keys.reshape(-1))
+    sign_s = jnp.take(signs.reshape(-1), perm)
     xy, inf_s = unpack_affine_rows(jnp.take(padded_rows, perm, axis=0))
-    buckets = bucket_sums(curve, keys_s, xy, inf_s, (1 << c) + 1, block)
-    return weighted_bucket_fold(curve, buckets[:1 << c])
+    nb = (1 << (c - 1)) + 1
+    buckets = bucket_sums(curve, keys_s, xy, inf_s, nb, block, sign_s)
+    return weighted_bucket_fold(curve, buckets)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
@@ -390,27 +496,28 @@ def msm_variable(curve: Curve, scalars_mont, points, c: int = 8,
                  block: int = 64):
     """Variable-base MSM (the general `best_multiexp`): per-window bucket
     spaces tagged into one key stream, one sort + one scan, then a Horner
-    fold over windows with c doublings per step."""
+    fold over windows with c doublings per step.  Signed digits as above."""
     n = scalars_mont.shape[0]
-    n_windows = 256 // c
-    nb_keys = (1 << c) + 1
-    d = _digits(curve.Fr, scalars_mont, c)                 # (n_windows, n)
+    n_windows = n_windows_for(curve.Fr, c)
+    nb_keys = (1 << (c - 1)) + 1
+    keys, signs = _signed_digits(curve.Fr, scalars_mont, c)
     aff = curve.batch_normalize(points)
     inf0 = curve.is_identity(points)
     padded = pack_affine_rows(curve, aff[:, :2, :], inf0, pad_width(n))
-    keys = (d + jnp.arange(n_windows, dtype=jnp.int32)[:, None]
+    keys = (keys + jnp.arange(n_windows, dtype=jnp.int32)[:, None]
             * nb_keys).reshape(-1)
     keys_s, perm = sort_perm(keys)
+    sign_s = jnp.take(signs.reshape(-1), perm)
     # the window-tiled point stream is aff[row % n]; gather straight from
     # the n-row padded affine table instead of materializing the tile
     xy, inf_s = unpack_affine_rows(jnp.take(padded, perm % n, axis=0))
     buckets = bucket_sums(curve, keys_s, xy, inf_s,
-                          n_windows * nb_keys, block)
+                          n_windows * nb_keys, block, sign_s)
     buckets = buckets.reshape(n_windows, nb_keys, 3, NLIMBS)
 
     # per-window weighted fold, then Horner over windows (high to low)
     per_window = jax.vmap(
-        lambda b: weighted_bucket_fold(curve, b))(buckets[:, :1 << c])
+        lambda b: weighted_bucket_fold(curve, b))(buckets)
 
     def horner(w, acc):
         for _ in range(c):

@@ -57,15 +57,22 @@ def pippenger_msm(curve: Curve, scalars_mont, points, c: int = 8,
     return msm_variable(curve, scalars_mont, points, c, block)
 
 
+def auto_c(n: int) -> int:
+    """Window width minimizing scan + tails work for the cached fixed-base
+    MSM: ~256n/c scan adds vs 2^(c-1)*block tail adds (bucket_scan.py)."""
+    return max(4, min(15, int(n).bit_length() - 4))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
-def window_bases(curve: Curve, points, c: int = 8):
+def window_bases(curve: Curve, points, c: int = 13):
     """Precompute [2^(c*w)]P_i for every window w — the descriptor-caching
     seam of the reference's ZAL (halo2_middleware/src/zal.rs:78-102): fixed
     commitment bases (SRS) are expanded once, after which every MSM needs NO
     doubling ladder at all.
 
     Returns (n_windows, n, 3, NLIMBS) projective."""
-    n_windows = 256 // c
+    from .bucket_scan import n_windows_for
+    n_windows = n_windows_for(curve.Fr, c)
 
     def body(cur, _):
         nxt = jax.lax.fori_loop(0, c, lambda i, a: curve.double(a), cur)
@@ -83,9 +90,10 @@ class CachedMSM:
     rows (bucket_scan.pad_width) so the by-digit gather moves whole
     128-lane tiles."""
 
-    def __init__(self, curve: Curve, points, c: int = 8, block: int = 64):
+    def __init__(self, curve: Curve, points, c: int | None = None,
+                 block: int = 64):
         self.curve = curve
-        self.c = c
+        self.c = c = auto_c(points.shape[0]) if c is None else c
         self.block = block
         self.n = points.shape[0]
         wb = window_bases(curve, points, c)                # (w, n, 3, L)

@@ -31,6 +31,23 @@ from .evaluation import evaluate_expression
 from .keygen import ProvingKey
 
 
+def _random_poly_device(F: Field, n: int, rng):
+    """n uniform field elements as (n, NLIMBS) Montgomery limbs, built on
+    device from 384 rng-derived bits each (bias < 2^-128): value =
+    hi*2^192 + lo with hi, lo < 2^192 encoded directly as limb arrays."""
+    import numpy as np
+    seed = rng.getrandbits(64)
+    g = np.random.Generator(np.random.PCG64(seed))
+    raw = g.integers(0, 1 << 16, size=(n, 24), dtype=np.uint32)
+    lo = np.zeros((n, NLIMBS), np.uint32)
+    hi = np.zeros((n, NLIMBS), np.uint32)
+    lo[:, :12] = raw[:, :12]
+    hi[:, :12] = raw[:, 12:]
+    c192 = F.encode_int(pow(2, 192, F.p))
+    return F.add(F.mul(F.to_mont(jnp.asarray(hi)), c192),
+                 F.to_mont(jnp.asarray(lo)))
+
+
 def _enc_list(F: Field, xs: List[int]):
     return F.encode_ints(xs)
 
@@ -362,9 +379,12 @@ class Prover:
                                              challenges_enc)
                 for sh in cs.shuffles])
 
-        # [TRANSCRIPT-12] vanishing random poly
-        random_ints = [rng.randrange(p) for _ in range(n)]
-        random_poly = F.encode_ints(random_ints)
+        # [TRANSCRIPT-12] vanishing random poly — generated device-side from
+        # an rng-derived seed (the reference parallelizes exactly this with
+        # per-chunk ChaCha20 seeding, vanishing/prover.rs:55-85 /
+        # benches/commit_zk.rs): draw 384 uniform bits per coefficient as
+        # numpy uint16 limbs and reduce mod p on device as hi*2^192 + lo.
+        random_poly = _random_poly_device(F, n, rng)
         random_blind = Blind(rng.randrange(p))
         t.write_point(params.commit_affine(random_poly, random_blind))
 

@@ -29,7 +29,7 @@ PINNED_VK_SHA256 = \
 TRANSCRIPT_REPR = \
     0x11ac1a8eff3898d908fa4780957f212b50314079cb9c3a96d3aa2172892d6031
 PROOF_SHA256 = \
-    "e7e0158d6f69fb406319a277f612c2afb2a7c140e8cb382453828f917becca11"
+    "43c120dfc3a5935d1c3c15bca1dfeb296de2353380c74df2e6e83a6432ff0636"
 PROOF_LEN = 1536
 
 

@@ -119,7 +119,9 @@ def _scan_level_pallas(curve, keys, pts, inf, block, affine, signs=None):
     # lanes (key = SENTINEL_KEY > any bucket key, so the stream stays
     # sorted for the next level's searchsorted) and pick a dividing tile.
     if nb > LANES:
-        pad_nb = (-nb) % 128
+        # pad to a multiple of 512 so tiles keep >= 4 full sublane groups
+        # (a 128-lane tile runs the whole limb kernel at 1/8 VPU width)
+        pad_nb = (-nb) % 512
         if pad_nb:
             keys = jnp.concatenate(
                 [keys, jnp.full((pad_nb * block,), SENTINEL_KEY, jnp.int32)])
@@ -338,12 +340,15 @@ def bucket_sums(curve: Curve, keys, pts, inf, n_keys: int, block: int = 64,
 
 
 def weighted_bucket_fold(curve: Curve, buckets):
-    """sum_{j>=1} j * B_j via two suffix-sum passes (Hillis-Steele doubling;
-    reference folds buckets serially — poly/ipa & kzg commit MSMs).
+    """sum_{j>=1} j * B_j (reference folds buckets serially — poly/ipa & kzg
+    commit MSMs).
 
-    The doubling rounds run inside one fori_loop (dynamic roll + mask) so the
-    point-add kernel appears ONCE in the program — compile time stays flat in
-    bucket count."""
+    Small bucket spaces: two suffix-sum passes (Hillis-Steele doubling
+    inside one fori_loop so the point-add kernel appears once; W(x) =
+    suffix(suffix(x))[0] = sum (i+1)*x_i).  Doubling is n*log n work, so
+    large spaces (wide windows) first split j-1 = Q*h + l on a (H, Q) grid:
+    sum j*B_j = Q*(W(R) - S(R)) + W(C) with R/C the work-efficient row/col
+    tree sums — O(n) adds + two tiny suffix folds."""
     def suffix(arr):
         k = arr.shape[0]
         rows = jnp.arange(k)
@@ -357,8 +362,39 @@ def weighted_bucket_fold(curve: Curve, buckets):
 
         return jax.lax.fori_loop(0, max((k - 1).bit_length(), 1), round_, arr)
 
-    b = buckets[1:]               # drop bucket 0
-    return suffix(suffix(b))[0]
+    def W(arr):
+        return suffix(suffix(arr))[0]
+
+    def tree_sum(arr, axis):
+        arr = jnp.moveaxis(arr, axis, 0)
+        k = arr.shape[0]
+        while k > 1:
+            if k % 2:
+                arr = jnp.concatenate(
+                    [arr, curve.identity((1,) + arr.shape[1:-2])], axis=0)
+                k += 1
+            arr = curve.add(arr[: k // 2], arr[k // 2:])
+            k = arr.shape[0]
+        return arr[0]
+
+    b = buckets[1:]               # b[i] = B_{i+1}
+    m = b.shape[0]
+    if m <= 256:
+        return W(b)
+    qbits = m.bit_length() // 2
+    Q = 1 << qbits
+    H = -(-m // Q)
+    if H * Q != m:
+        b = jnp.concatenate([b, curve.identity((H * Q - m,))], axis=0)
+    grid = b.reshape(H, Q, 3, NLIMBS)
+    R = tree_sum(grid, 1)                                  # (H, 3, L)
+    C = tree_sum(grid, 0)                                  # (Q, 3, L)
+    SR = tree_sum(R, 0)                                    # sum of all
+    # sum (Qh + l + 1) b_{Qh+l} = Q*(W(R) - S(R)) + W(C)
+    acc = curve.add(W(R), curve.neg(SR))
+    for _ in range(qbits):
+        acc = curve.double(acc)
+    return curve.add(acc, W(C))
 
 
 # ----------------------------------------------------------------------

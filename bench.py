@@ -45,7 +45,7 @@ def main():
     log("devices:", jax.devices())
     F = curve.Fr
 
-    k = 17
+    k = int(os.environ.get("HALO2_TPU_BENCH_K", "18"))
     n = 1 << k
     log(f"building {n} points ...")
     t0 = time.time()
@@ -73,7 +73,7 @@ def main():
     log(f"point gen: {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    engine = CachedMSM(curve, pts, block=64)
+    engine = CachedMSM(curve, pts)
     jax.block_until_ready(engine.wbases)
     log(f"window-base precompute: {time.time()-t0:.1f}s")
 

@@ -60,7 +60,7 @@ class ShardedCachedMSM:
     """
 
     def __init__(self, mesh, curve: Curve, points, c: int | None = None,
-                 block: int = 64):
+                 block: int = 16):
         from ..msm.msm import auto_c
         self.mesh = mesh
         self.curve = curve

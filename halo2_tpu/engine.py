@@ -43,7 +43,7 @@ class TpuMsmEngine(H2cEngine):
     repeated commitments cost one sort + one segmented scan each
     (zal.rs:78-102 descriptor caching; msm/msm.py CachedMSM)."""
 
-    def __init__(self, c: int | None = None, block: int = 64, mesh=None):
+    def __init__(self, c: int | None = None, block: int = 16, mesh=None):
         self.c = c
         self.block = block
         self.mesh = mesh

@@ -502,7 +502,7 @@ def sort_perm(keys):
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def msm_windowed_cached(curve: Curve, scalars_mont, padded_rows, c: int = 13,
-                        block: int = 64):
+                        block: int = 16):
     """Fixed-base MSM against precomputed window bases in AFFINE form.
 
     padded_rows: (n_windows*n_max, pad) uint32 tile-aligned rows from

@@ -60,7 +60,7 @@ def pippenger_msm(curve: Curve, scalars_mont, points, c: int = 8,
 def auto_c(n: int) -> int:
     """Window width minimizing scan + tails work for the cached fixed-base
     MSM: ~256n/c scan adds vs 2^(c-1)*block tail adds (bucket_scan.py)."""
-    return max(4, min(15, int(n).bit_length() - 4))
+    return max(4, min(13, int(n).bit_length() - 4))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -91,7 +91,7 @@ class CachedMSM:
     128-lane tiles."""
 
     def __init__(self, curve: Curve, points, c: int | None = None,
-                 block: int = 64):
+                 block: int = 16):
         self.curve = curve
         self.c = c = auto_c(points.shape[0]) if c is None else c
         self.block = block

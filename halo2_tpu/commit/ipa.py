@@ -14,6 +14,7 @@ poly/ipa/commitment.rs:26-33,156-214.
 from __future__ import annotations
 
 import hashlib
+from dataclasses import dataclass
 import os
 import struct
 
@@ -326,6 +327,34 @@ class GuardIPA:
         s = compute_s(self.msm.params.curve.Fr.p, self.u, self.neg_c)
         self.msm.add_to_g_scalars(s)
         return self.msm
+
+    def use_g(self, g):
+        """Caller supplies the purported G = <s, params.g>; returns the
+        updated MSM plus an Accumulator carrying the evaluation claim for a
+        recursive verifier (strategy.rs:54-66)."""
+        self.msm.append_term(self.neg_c, g)
+        return self.msm, Accumulator(g=g, u_packed=list(self.u))
+
+    def compute_g(self):
+        """G = <s, params.g> (strategy.rs:68-71)."""
+        from ..msm.msm import msm as run_msm
+        params = self.msm.params
+        F = params.curve.Fr
+        s = compute_s(F.p, self.u, 1)
+        g = run_msm(params.curve, F.encode_ints(s), params.g)
+        return params.curve.to_affine_ints(g[None])[0]
+
+    def use_g_with_computed(self):
+        """Convenience: compute G here and accumulate (tests)."""
+        return self.use_g(self.compute_g())
+
+
+@dataclass
+class Accumulator:
+    """Evaluation claim + packed challenges for the recursion path
+    (strategy.rs:27-36)."""
+    g: object
+    u_packed: list
 
 
 def verify_opening_proof(params: ParamsIPA, msm_acc: MSMIPA, transcript,

@@ -24,26 +24,61 @@ VERSION = 0x04   # mirrors plonk.rs vk VERSION
 
 
 class SerdeFormat(Enum):
+    """helpers.rs:9-21: PROCESSED = canonical/compressed with curve checks;
+    RAW_BYTES = raw Montgomery-form coordinates with checks (skips the
+    to/from-canonical conversion); RAW_BYTES_UNCHECKED = raw without
+    validation (trusted inputs, fastest)."""
     PROCESSED = 0
     RAW_BYTES = 1
     RAW_BYTES_UNCHECKED = 2
 
 
-def _write_point(curve, pt) -> bytes:
-    return curve.point_to_bytes(pt)
+def _pt_size(fmt: SerdeFormat) -> int:
+    return 32 if fmt == SerdeFormat.PROCESSED else 64
 
 
-def vk_write(vk) -> bytes:
+def _write_point(curve, pt, fmt: SerdeFormat = SerdeFormat.PROCESSED) -> bytes:
+    if fmt == SerdeFormat.PROCESSED:
+        return curve.point_to_bytes(pt)
+    # raw: uncompressed Montgomery x || y (identity = all zeros)
+    Fq = curve.Fq
+    if pt is None:
+        return b"\x00" * 64
+    x, y = pt
+    return (Fq.to_mont_int(x).to_bytes(32, "little")
+            + Fq.to_mont_int(y).to_bytes(32, "little"))
+
+
+def _read_point(curve, data: bytes, off: int, fmt: SerdeFormat):
+    if fmt == SerdeFormat.PROCESSED:
+        return curve.point_from_bytes(data[off:off + 32]), off + 32
+    Fq = curve.Fq
+    xm = int.from_bytes(data[off:off + 32], "little")
+    ym = int.from_bytes(data[off + 32:off + 64], "little")
+    off += 64
+    if xm == 0 and ym == 0:
+        return None, off
+    x, y = Fq.from_mont_int(xm), Fq.from_mont_int(ym)
+    if fmt == SerdeFormat.RAW_BYTES:
+        if xm >= (1 << 256) or x >= Fq.p or y >= Fq.p:
+            raise ValueError("coordinate out of range")
+        if (y * y - x * x * x - curve.b) % Fq.p != 0:
+            raise ValueError("point not on curve")
+    return (x, y), off
+
+
+def vk_write(vk, fmt: SerdeFormat = SerdeFormat.PROCESSED) -> bytes:
     curve = vk.curve
     out = bytearray()
     out += bytes([VERSION])
+    out += bytes([fmt.value])
     out += struct.pack("<I", vk.k)
     out += struct.pack("<I", len(vk.fixed_commitments))
     for pt in vk.fixed_commitments:
-        out += _write_point(curve, pt)
+        out += _write_point(curve, pt, fmt)
     out += struct.pack("<I", len(vk.permutation.commitments))
     for pt in vk.permutation.commitments:
-        out += _write_point(curve, pt)
+        out += _write_point(curve, pt, fmt)
     out += vk.F.to_repr(vk.transcript_repr)
     return bytes(out)
 
@@ -56,22 +91,23 @@ def vk_read(F, params, k: int, circuit, data: bytes):
     curve = params.curve
     if data[0] != VERSION:
         raise ValueError(f"unexpected vk version {data[0]}")
-    (k_read,) = struct.unpack("<I", data[1:5])
+    fmt = SerdeFormat(data[1])
+    (k_read,) = struct.unpack("<I", data[2:6])
     if k_read != k:
         raise ValueError(f"vk k mismatch: file has {k_read}, expected {k}")
-    off = 5
+    off = 6
     (n_fixed,) = struct.unpack("<I", data[off:off + 4])
     off += 4
     fixed = []
     for _ in range(n_fixed):
-        fixed.append(curve.point_from_bytes(data[off:off + 32]))
-        off += 32
+        pt, off = _read_point(curve, data, off, fmt)
+        fixed.append(pt)
     (n_perm,) = struct.unpack("<I", data[off:off + 4])
     off += 4
     perm = []
     for _ in range(n_perm):
-        perm.append(curve.point_from_bytes(data[off:off + 32]))
-        off += 32
+        pt, off = _read_point(curve, data, off, fmt)
+        perm.append(pt)
     repr_read = F.from_repr(data[off:off + 32])
 
     vk = backend_keygen(F, params,

@@ -102,3 +102,19 @@ def test_vk_pk_serde(setup):
     bad[-1] ^= 1
     with pytest.raises(ValueError):
         vk_read(F, params, K, circuit, bytes(bad))
+
+
+def test_vk_serde_formats(setup):
+    """helpers.rs SerdeFormat: PROCESSED (compressed, checked), RAW_BYTES
+    (Montgomery coords, on-curve checked), RAW_BYTES_UNCHECKED."""
+    from halo2_tpu.compat import SerdeFormat
+    params, pk, circuit, c = setup
+    for fmt in SerdeFormat:
+        blob = vk_write(pk.vk, fmt)
+        vk2 = vk_read(F, params, K, circuit, blob)
+        assert vk2.transcript_repr == pk.vk.transcript_repr, fmt
+    # RAW_BYTES validates curve membership; corrupt a coordinate byte
+    blob = bytearray(vk_write(pk.vk, SerdeFormat.RAW_BYTES))
+    blob[14] ^= 0x5A
+    with pytest.raises(ValueError):
+        vk_read(F, params, K, circuit, bytes(blob))

@@ -122,3 +122,39 @@ def test_multiopen_roundtrip(params):
 
     assert run_verifier()
     assert not run_verifier(tamper=(1, y))
+
+
+def test_guard_use_g_accumulator(params):
+    """Recursion surface (strategy.rs:54-71): verifying via use_g(compute_g)
+    must agree with use_challenges, and the Accumulator carries the claim."""
+    import random
+    from halo2_tpu.commit.ipa import (
+        create_opening_proof, verify_opening_proof, Blind)
+
+    F = params.curve.Fr
+    p = F.p
+    rng = random.Random(3)
+    poly_int = [rng.randrange(p) for _ in range(params.n)]
+    poly = F.encode_ints(poly_int)
+    blind = Blind(rng.randrange(p))
+    comm = params.commit_affine(poly, blind)
+    x = rng.randrange(p)
+    v = eval_polynomial_int(p, poly_int, x)
+
+    t = Blake2bWrite(params.curve)
+    create_opening_proof(params, rng, t, poly, blind, x)
+    proof = t.finalize()
+
+    def fresh_guard():
+        msm = params.empty_msm()
+        msm.append_term(1, comm)
+        r = Blake2bRead(params.curve, proof)
+        return verify_opening_proof(params, msm, r, x, v)
+
+    assert fresh_guard().use_challenges().check()
+
+    guard = fresh_guard()
+    g = guard.compute_g()
+    msm2, acc = guard.use_g(g)
+    assert msm2.check()
+    assert acc.u_packed and acc.g == g

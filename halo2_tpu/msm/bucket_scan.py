@@ -57,20 +57,23 @@ def _as_xy(p):
     return p.reshape(p.shape[:-1] + (2, NLIMBS))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _scan_level(curve: Curve, keys, pts, inf, block: int, affine: bool,
-                signs=None):
+                packed: bool = False):
     """One segmented-scan level.
 
     keys: (M,) int32, non-decreasing; M divisible by block.
     pts:  (M, 2*L) flat affine Montgomery limb rows if `affine` else
           (M, 3, L) projective.
     inf:  (M,) bool — identity flags (only consulted when affine).
-    signs: optional (M,) bool — lanes whose affine point enters negated
-          (y := -y), folded into the kernel's flag row (signed-digit MSM).
+    packed: signed-digit MSM mode — keys are 2*bucket + sign; segmentation
+          uses bucket = key >> 1 and the kernel negates y (y := -y) on odd
+          keys, so the sign needs NO separate per-element gather and the
+          bucket space does not grow.
 
     Returns (finals, lane_keys): finals (M//block, 3, L) — the running sum of
-    the LAST run-piece in each lane; lane_keys (M//block,) — that run's key.
+    the LAST run-piece in each lane; lane_keys (M//block,) — that run's
+    (unpacked) key.
     """
     M = keys.shape[0]
     nb = M // block
@@ -78,9 +81,10 @@ def _scan_level(curve: Curve, keys, pts, inf, block: int, affine: bool,
 
     if _use_pallas() and nb % 8 == 0 and nb >= 8:
         return _scan_level_pallas(curve, keys, pts, inf, block, affine,
-                                  signs)
-    if affine and signs is not None:
-        pts = _negate_y_where(curve.Fq, pts, signs)
+                                  packed)
+    if affine and packed:
+        pts = _negate_y_where(curve.Fq, pts, (keys & 1) == 1)
+        keys = keys >> 1
 
     # jnp fallback: lax.scan over the block dimension
     kT = jnp.moveaxis(keys.reshape(nb, block), 1, 0)          # (block, nb)
@@ -105,7 +109,7 @@ def _scan_level(curve: Curve, keys, pts, inf, block: int, affine: bool,
     return finals, lane_keys
 
 
-def _scan_level_pallas(curve, keys, pts, inf, block, affine, signs=None):
+def _scan_level_pallas(curve, keys, pts, inf, block, affine, packed=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..curves.pallas_ec import _madd_body_ec, _add_body_ec
@@ -130,9 +134,6 @@ def _scan_level_pallas(curve, keys, pts, inf, block, affine, signs=None):
                                 pts.dtype)])
             inf = jnp.concatenate(
                 [inf, jnp.ones((pad_nb * block,), jnp.bool_)])
-            if signs is not None:
-                signs = jnp.concatenate(
-                    [signs, jnp.zeros((pad_nb * block,), jnp.bool_)])
             nb += pad_nb
             M = nb * block
         lanes = LANES
@@ -149,8 +150,6 @@ def _scan_level_pallas(curve, keys, pts, inf, block, affine, signs=None):
     # (1, nrows, lanes) tile; limb rows map onto sublanes, lanes onto lanes.
     flat = pts.reshape(nb, block, ncoord * NLIMBS)
     extra = (inf if affine else jnp.zeros_like(inf)).astype(jnp.uint32)
-    if affine and signs is not None:
-        extra = extra | (signs.astype(jnp.uint32) << 1)
     flat = jnp.concatenate(
         [flat, extra.reshape(nb, block, 1)], axis=-1)
     pT = jnp.transpose(flat, (1, 2, 0))                    # (block, nrows, nb)
@@ -167,6 +166,9 @@ def _scan_level_pallas(curve, keys, pts, inf, block, affine, signs=None):
             seg_ref[0] = jnp.full((lanes,), -2, jnp.int32)
 
         k = k_ref[0, 0]                                    # (lanes,) i32
+        if packed:
+            neg = (k & 1) != 0
+            k = k >> 1
         fresh = k != seg_ref[0]
         X1 = [acc_ref[i] for i in range(NLIMBS)]
         Y1 = [acc_ref[NLIMBS + i] for i in range(NLIMBS)]
@@ -176,8 +178,7 @@ def _scan_level_pallas(curve, keys, pts, inf, block, affine, signs=None):
             y2 = [p_ref[0, NLIMBS + i] for i in range(NLIMBS)]
             flags = p_ref[0, 2 * NLIMBS]
             is_inf = (flags & 1) != 0
-            if signs is not None:
-                neg = (flags & 2) != 0
+            if packed:
                 zeros = [jnp.zeros((lanes,), jnp.uint32)] * NLIMBS
                 ny = _sub_body(F, zeros, y2)
                 y2 = [jnp.where(neg, nv, v) for nv, v in zip(ny, y2)]
@@ -236,16 +237,17 @@ def _scan_level_pallas(curve, keys, pts, inf, block, affine, signs=None):
 # tails: per-key partials that end mid-lane, recomputed from raw elements
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def _tails(curve: Curve, keys, pts, inf, block: int, n_keys: int,
-           affine: bool, signs=None):
+           affine: bool, packed: bool = False):
     """For each key k, the sum of the trailing run elements that do NOT end
     at a lane boundary: elements [max(start_k, block*floor((end_k-1)/block)),
     end_k).  Returns (n_keys, 3, L) projective points (identity when the
     run is empty or ends lane-aligned).  pts is (M, 2L) flat affine when
     `affine` else (M, 3, L) projective."""
     M = keys.shape[0]
-    s = jnp.searchsorted(keys, jnp.arange(n_keys + 1, dtype=jnp.int32))
+    seg_keys = (keys >> 1) if packed else keys
+    s = jnp.searchsorted(seg_keys, jnp.arange(n_keys + 1, dtype=jnp.int32))
     start, end = s[:-1], s[1:]
     nonempty = end > start
     aligned = (end % block) == 0
@@ -259,8 +261,9 @@ def _tails(curve: Curve, keys, pts, inf, block: int, n_keys: int,
     g_pts = jnp.take(pts, flat_pos, axis=0)
     g_inf = (jnp.take(inf, flat_pos, axis=0)
              | ~valid.reshape(-1))                         # (n_keys*block,)
-    g_signs = (jnp.take(signs, flat_pos, axis=0)
-               if (affine and signs is not None) else None)
+    if affine and packed:
+        g_par = jnp.take(keys, flat_pos, axis=0) & 1
+        g_pts = _negate_y_where(curve.Fq, g_pts, g_par == 1)
     if not affine:
         # the projective scan path trusts the point data (complete formulas,
         # no flag row): invalid rows must BE the identity
@@ -276,12 +279,9 @@ def _tails(curve: Curve, keys, pts, inf, block: int, n_keys: int,
         g_pts = jnp.concatenate(
             [g_pts, jnp.zeros((extra,) + g_pts.shape[1:], g_pts.dtype)])
         g_inf = jnp.concatenate([g_inf, jnp.ones((extra,), jnp.bool_)])
-        if g_signs is not None:
-            g_signs = jnp.concatenate(
-                [g_signs, jnp.zeros((extra,), jnp.bool_)])
     lane_keys_in = jnp.repeat(jnp.arange(nk_pad, dtype=jnp.int32), block)
     finals, _lk = _scan_level(curve, lane_keys_in, g_pts, g_inf, block,
-                              affine, g_signs)
+                              affine)
     return finals[:n_keys]
 
 
@@ -290,11 +290,11 @@ def _tails(curve: Curve, keys, pts, inf, block: int, n_keys: int,
 # ----------------------------------------------------------------------
 
 def bucket_sums(curve: Curve, keys, pts, inf, n_keys: int, block: int = 64,
-                signs=None):
-    """Sum points grouped by key.  keys (M,) int32 SORTED non-decreasing in
-    [0, n_keys); pts (M, 2L) flat affine Montgomery limb rows; inf (M,) bool;
-    signs: optional (M,) bool — affine rows entering with y negated.
-    Returns (n_keys, 3, L) projective bucket sums."""
+                packed: bool = False):
+    """Sum points grouped by key.  keys (M,) int32 SORTED non-decreasing —
+    plain bucket ids in [0, n_keys), or (packed=True) 2*bucket + sign with
+    negation applied in-kernel.  pts (M, 2L) flat affine Montgomery limb
+    rows; inf (M,) bool.  Returns (n_keys, 3, L) projective bucket sums."""
     M = keys.shape[0]
     total = curve.identity((n_keys,))
     affine = True
@@ -302,30 +302,29 @@ def bucket_sums(curve: Curve, keys, pts, inf, n_keys: int, block: int = 64,
     while M > block:
         pad = (-M) % (block * 8)
         if pad:
+            pad_key = 2 * n_keys if packed else n_keys
             keys = jnp.concatenate(
-                [keys, jnp.full((pad,), n_keys, jnp.int32)])
+                [keys, jnp.full((pad,), pad_key, jnp.int32)])
             if affine:
                 pts = jnp.concatenate(
                     [pts, jnp.zeros((pad, 2 * NLIMBS), jnp.uint32)], axis=0)
-                if signs is not None:
-                    signs = jnp.concatenate(
-                        [signs, jnp.zeros((pad,), jnp.bool_)])
             else:
                 pts = jnp.concatenate([pts, curve.identity((pad,))], axis=0)
             inf = jnp.concatenate([inf, jnp.ones((pad,), jnp.bool_)])
             M += pad
-        t = _tails(curve, keys, pts, inf, block, n_keys, affine, signs)
+        t = _tails(curve, keys, pts, inf, block, n_keys, affine, packed)
         total = curve.add(total, t)
-        pts, keys = _scan_level(curve, keys, pts, inf, block, affine, signs)
+        pts, keys = _scan_level(curve, keys, pts, inf, block, affine, packed)
         inf = curve.is_identity(pts) | (keys >= n_keys) | (keys < 0)
         affine = False
-        signs = None
+        packed = False
         M = keys.shape[0]
         level += 1
         assert level < 8, "bucket_sums failed to converge"
 
-    if affine and signs is not None:
-        pts = _negate_y_where(curve.Fq, pts, signs)
+    if affine and packed:
+        pts = _negate_y_where(curve.Fq, pts, (keys & 1) == 1)
+        keys = keys >> 1
 
     # final <= block elements: one-hot accumulate over all keys at once
     def step(acc, x):
@@ -519,11 +518,13 @@ def msm_windowed_cached(curve: Curve, scalars_mont, padded_rows, c: int = 13,
     if n != n_max:
         padded_rows = padded_rows.reshape(
             n_windows, n_max, pad)[:, :n].reshape(-1, pad)
-    keys_s, perm = sort_perm(keys.reshape(-1))
-    sign_s = jnp.take(signs.reshape(-1), perm)
+    # sign packed into the key's low bit: travels through the sort for free
+    # and the scan kernel negates by key parity — no per-element sign gather
+    packed = (keys * 2 + signs.astype(jnp.int32)).reshape(-1)
+    keys_s, perm = sort_perm(packed)
     xy, inf_s = unpack_affine_rows(jnp.take(padded_rows, perm, axis=0))
     nb = (1 << (c - 1)) + 1
-    buckets = bucket_sums(curve, keys_s, xy, inf_s, nb, block, sign_s)
+    buckets = bucket_sums(curve, keys_s, xy, inf_s, nb, block, packed=True)
     return weighted_bucket_fold(curve, buckets)
 
 
@@ -540,15 +541,14 @@ def msm_variable(curve: Curve, scalars_mont, points, c: int = 8,
     aff = curve.batch_normalize(points)
     inf0 = curve.is_identity(points)
     padded = pack_affine_rows(curve, aff[:, :2, :], inf0, pad_width(n))
-    keys = (keys + jnp.arange(n_windows, dtype=jnp.int32)[:, None]
-            * nb_keys).reshape(-1)
+    keys = ((keys + jnp.arange(n_windows, dtype=jnp.int32)[:, None]
+             * nb_keys) * 2 + signs.astype(jnp.int32)).reshape(-1)
     keys_s, perm = sort_perm(keys)
-    sign_s = jnp.take(signs.reshape(-1), perm)
     # the window-tiled point stream is aff[row % n]; gather straight from
     # the n-row padded affine table instead of materializing the tile
     xy, inf_s = unpack_affine_rows(jnp.take(padded, perm % n, axis=0))
     buckets = bucket_sums(curve, keys_s, xy, inf_s,
-                          n_windows * nb_keys, block, sign_s)
+                          n_windows * nb_keys, block, packed=True)
     buckets = buckets.reshape(n_windows, nb_keys, 3, NLIMBS)
 
     # per-window weighted fold, then Horner over windows (high to low)

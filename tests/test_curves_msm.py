@@ -246,3 +246,21 @@ def test_fused_ntt_matches_stage_ntt():
     b = jnp.stack([a, F.add(a, F.ones((1 << log_n,)))])
     gb = F.decode_ints(fused.forward(b))
     assert gb[: 1 << log_n] == got
+
+
+def test_pippenger_non_divisor_window():
+    """Signed digits free c from the 16-bit limb constraint: odd widths must
+    agree with naive (exercises cross-limb window extraction + carry)."""
+    import random
+    rng = random.Random(11)
+    curve, F = VESTA, VESTA.Fr
+    n = 48
+    svals = [rng.randrange(F.p) for _ in range(n)]
+    pvals = [rng.randrange(1, 10 ** 6) for _ in range(n)]
+    G = curve.from_affine_ints([(curve.gen_x, curve.gen_y)])[0]
+    pts = curve.scalar_mul(jnp.broadcast_to(G, (n, 3, 16)),
+                           F.encode_ints(pvals))
+    want = naive_msm(curve, F.encode_ints(svals), pts)
+    for c in (5, 13):
+        got = pippenger_msm(curve, F.encode_ints(svals), pts, c=c, block=8)
+        assert bool(curve.eq(got, want)), f"c={c}"

@@ -43,10 +43,10 @@ class TestCircuit(Circuit):
         return {"advice": advice, "table": table, "selector": selector}
 
     def synthesize(self, config, layouter: Layouter):
-        def fill_table(region):
+        def fill_table(table):
             for row in range(1 << self.TABLE_BITS):
-                region.assign_fixed(config["table"].inner, row,
-                                    Value.known(row + 1))
+                table.assign_cell(config["table"], row,
+                                  Value.known(row + 1))
 
         layouter.assign_table("8-bit table", fill_table)
 

@@ -20,16 +20,17 @@ from .plonk.verifier import verify_proof as backend_verify_queries
 from .transcript import Blake2bWrite, Blake2bRead
 
 
-def keygen(F, params, k: int, circuit, compress_selectors: bool = True):
+def keygen(F, params, k: int, circuit, compress_selectors: bool = True,
+           engine=None):
     """compile_circuit + backend keygen; returns ProvingKey (with .vk)."""
     compiled, _config, _cs = compile_circuit(F, k, circuit,
                                              compress_selectors)
-    return backend_keygen(F, params, compiled, k)
+    return backend_keygen(F, params, compiled, k, engine=engine)
 
 
 def create_proof(params, pk, circuits: List, instances: List[List[List[int]]],
                  rng=None, transcript_cls=Blake2bWrite,
-                 multiopen_prover_cls=ProverIPA) -> bytes:
+                 multiopen_prover_cls=ProverIPA, engine=None) -> bytes:
     """Full proof over one or more circuit instances
     (halo2_proofs/src/plonk/prover.rs:19-98)."""
     F = pk.vk.F
@@ -39,7 +40,7 @@ def create_proof(params, pk, circuits: List, instances: List[List[List[int]]],
     mo_prover = multiopen_prover_cls(params)
 
     prover = Prover(params, pk, instances, rng, transcript,
-                    query_instance=mo_prover.QUERY_INSTANCE)
+                    query_instance=mo_prover.QUERY_INSTANCE, engine=engine)
 
     # per-circuit witness calculators over freshly-configured constraint
     # systems (must structurally match the pk's)
@@ -62,6 +63,7 @@ def create_proof(params, pk, circuits: List, instances: List[List[List[int]]],
 def verify(params, vk, proof: bytes, instances: List[List[List[int]]],
            transcript_cls=Blake2bRead, multiopen_verifier_cls=VerifierIPA,
            strategy_cls=SingleStrategyIPA) -> bool:
+    from .plonk.errors import VerifyError
     transcript = transcript_cls(params.curve, proof)
     verifier = multiopen_verifier_cls(params)
     try:
@@ -70,5 +72,7 @@ def verify(params, vk, proof: bytes, instances: List[List[List[int]]],
         strategy = strategy_cls(params)
         return strategy.process(
             lambda msm: verifier.verify_proof(transcript, queries, msm))
-    except (ValueError, AssertionError):
+    except VerifyError:
+        # typed proof-format/algebra failures are "invalid proof";
+        # anything else (AssertionError etc.) is a bug and propagates
         return False

@@ -59,9 +59,18 @@ class VerifierQuery:
     commitment: Any
     eval: int
     is_msm: bool = False
+    ident: Any = None
 
     def commitment_key(self):
-        """Grouping identity: MSMs by object id, points by value."""
+        """Grouping identity mirroring the reference's pointer equality on
+        `CommitmentReference` (query.rs:140-147): two distinct columns with
+        EQUAL commitment values must stay distinct (the prover keys on
+        `&Polynomial` identity), while one column queried at several
+        rotations must merge.  Callers therefore pass `ident` — the slot the
+        commitment was taken from; the value itself is never the key unless
+        no ident was provided."""
+        if self.ident is not None:
+            return ("id", self.ident)
         if self.is_msm:
             return ("msm", id(self.commitment))
         return ("pt", self.commitment)

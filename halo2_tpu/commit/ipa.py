@@ -5,9 +5,11 @@ device/host split: polynomials and generator vectors are device-resident
 arrays, MSMs/folds run batched on device, while blinds/challenges/transcript
 traffic stay host-side python ints.
 
-Parameter generation differs from the reference only in the random-oracle
-point derivation (documented hash-to-curve variant in `_derive_points`);
-structure (g, g_lagrange via group iFFT, w, u) matches
+Parameter generation is byte-identical to the reference for the Pasta
+curves: g[i]/w/u come from the pasta_curves-compatible
+hash_to_curve("Halo2-Parameters") (curves/hash_to_curve.py, constants
+re-derived in tools/derive_iso.py and pinned against the reference's golden
+vk).  Structure (g, g_lagrange via group iFFT, w, u) matches
 poly/ipa/commitment.rs:26-33,156-214.
 """
 
@@ -39,10 +41,26 @@ _PARAMS_CACHE = os.path.join(
                    os.path.expanduser("~/.cache/halo2_tpu")), "params")
 
 
+def _param_hasher(curve: Curve):
+    """pasta_curves-compatible hash_to_curve("Halo2-Parameters") for the
+    Pasta curves (ipa/commitment.rs:170-204) — byte-identical generators;
+    verified against the reference's golden pinned-vk (tests/test_pinned_vk).
+    Returns None for curves without a pinned hash-to-curve suite."""
+    from ..curves.hash_to_curve import hash_to_curve
+    if curve.name == "pasta::Vesta":
+        from ..curves.iso_constants import VESTA_ISO
+        return hash_to_curve(VESTA_ISO, "Halo2-Parameters")
+    if curve.name == "pasta::Pallas":
+        from ..curves.iso_constants import PALLAS_ISO
+        return hash_to_curve(PALLAS_ISO, "Halo2-Parameters")
+    return None
+
+
 def _derive_points(curve: Curve, tag: bytes, labels) -> list:
-    """Deterministic nothing-up-my-sleeve points: SHA-512(tag || label || ctr)
-    -> candidate x (wide-reduced), lift with even-y convention.  Fulfils the
-    role of hash_to_curve("Halo2-Parameters") in ipa/commitment.rs:170-204."""
+    """Deterministic nothing-up-my-sleeve points for curves with no
+    reference hash-to-curve suite (e.g. IPA-over-BN254): SHA-512(tag ||
+    label || ctr) -> candidate x (wide-reduced), lift with even-y
+    convention."""
     F = curve.Fq
     pts = []
     for label in labels:
@@ -71,10 +89,19 @@ class ParamsIPA:
         self.n = 1 << k
         F = curve.Fr
         if g_aff is None:
-            tag = b"halo2_tpu/ipa-params/v1:" + curve.name.encode()
-            labels = [struct.pack("<cI", b"g", i) for i in range(self.n)]
-            g_aff = _derive_points(curve, tag, labels)
-            w, u = _derive_points(curve, tag, [b"w", b"u"])
+            hasher = _param_hasher(curve)
+            if hasher is not None:
+                # reference-identical derivation (ipa/commitment.rs:156-214):
+                # g[i] = H([0, i as u32 le]), w = H([1]), u = H([2])
+                g_aff = [hasher(b"\x00" + i.to_bytes(4, "little"))
+                         for i in range(self.n)]
+                w = hasher(b"\x01")
+                u = hasher(b"\x02")
+            else:
+                tag = b"halo2_tpu/ipa-params/v1:" + curve.name.encode()
+                labels = [struct.pack("<cI", b"g", i) for i in range(self.n)]
+                g_aff = _derive_points(curve, tag, labels)
+                w, u = _derive_points(curve, tag, [b"w", b"u"])
         self.g_aff = g_aff
         self.w_aff = w
         self.u_aff = u
@@ -87,6 +114,14 @@ class ParamsIPA:
         self.w = curve.from_affine_ints([w])[0]
         self.u = curve.from_affine_ints([u])[0]
         self._cached_msm = {}
+        self.engine = None   # PlonkEngine (ZAL seam); see set_engine
+
+    def set_engine(self, engine):
+        """Install a PlonkEngine (engine.py): full-length commitments route
+        through its descriptor cache — on a mesh that is ShardedCachedMSM
+        (dist/msm.py), i.e. points+buckets sharded with collective
+        reduction.  Mirrors zal.rs:78-102 descriptor caching."""
+        self.engine = engine
 
     # -- cached construction -------------------------------------------
 
@@ -94,7 +129,7 @@ class ParamsIPA:
     def new(curve: Curve, k: int) -> "ParamsIPA":
         os.makedirs(_PARAMS_CACHE, exist_ok=True)
         path = os.path.join(
-            _PARAMS_CACHE, f"ipa-{curve.name.replace(':', '_')}-{k}.bin")
+            _PARAMS_CACHE, f"ipa-v2-{curve.name.replace(':', '_')}-{k}.bin")
         if os.path.exists(path):
             with open(path, "rb") as f:
                 return ParamsIPA.read(curve, f.read())
@@ -139,6 +174,17 @@ class ParamsIPA:
     def _commit_with(self, bases, poly, blind: Blind):
         F = self.curve.Fr
         n = poly.shape[0]
+        if (self.engine is not None and n == self.n):
+            # ZAL path: cached (possibly sharded) descriptor for the n
+            # bases; the blind*w term is a single scalar-mul added on top
+            # (n+1 would break row sharding).
+            desc = self.engine.msm_backend.get_base_descriptor(
+                self.curve, bases)
+            acc = self.engine.msm_backend.msm_with_cached_base(
+                self.curve, poly, desc)
+            wterm = msm(self.curve, F.encode_ints([blind.value]),
+                        self.w[None])
+            return self.curve.add(acc, wterm)
         scalars = jnp.concatenate(
             [poly, F.encode_ints([blind.value])], axis=0)
         if n == self.n:

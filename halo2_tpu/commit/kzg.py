@@ -99,7 +99,7 @@ class ParamsKZG:
     def new(k: int, s: Optional[int] = 3141592653589793) -> "ParamsKZG":
         """Cached deterministic test params (toxic s retained, insecure)."""
         os.makedirs(_PARAMS_CACHE, exist_ok=True)
-        path = os.path.join(_PARAMS_CACHE, f"kzg-bn254-{k}-{s or 0}.bin")
+        path = os.path.join(_PARAMS_CACHE, f"kzg-v2-bn254-{k}-{s or 0}.bin")
         if os.path.exists(path):
             with open(path, "rb") as f:
                 return ParamsKZG.read(f.read(), s_secret=s)
@@ -108,42 +108,47 @@ class ParamsKZG:
             f.write(params.write())
         return params
 
-    # -- serde (kzg/commitment.rs:167-267 RawBytes-style) ----------------
+    # -- serde (kzg/commitment.rs:167-267 layout; write() defaults to
+    # RawBytes like the reference's ParamsProver::write at :320-322) -----
 
-    def write(self) -> bytes:
+    def write(self, fmt=None) -> bytes:
+        from ..compat.serde import SerdeFormat, _write_point, _write_g2
+        fmt = fmt or SerdeFormat.RAW_BYTES
         out = bytearray(struct.pack("<I", self.k))
         for pt in self.g_aff:
-            out += self.curve.point_to_bytes(pt)
+            out += _write_point(self.curve, pt, fmt)
         for pt in self.g_lagrange_aff:
-            out += self.curve.point_to_bytes(pt)
-        for g2pt in (self.g2, self.s_g2):
-            (x0, x1), (y0, y1) = g2pt
-            for v in (x0, x1, y0, y1):
-                out += int(v).to_bytes(32, "little")
+            out += _write_point(self.curve, pt, fmt)
+        out += _write_g2(self.g2, fmt)
+        out += _write_g2(self.s_g2, fmt)
         return bytes(out)
 
     @staticmethod
-    def read(data: bytes, s_secret=None) -> "ParamsKZG":
+    def read(data: bytes, fmt=None, s_secret=None) -> "ParamsKZG":
+        from ..compat.serde import SerdeFormat, _read_point, _read_g2
+        fmt = fmt or SerdeFormat.RAW_BYTES
         k = struct.unpack("<I", data[:4])[0]
         n = 1 << k
         off = 4
         pts = []
         for _ in range(2 * n):
-            pts.append(BN254_G1.point_from_bytes(data[off: off + 32]))
-            off += 32
-        g2s = []
-        for _ in range(2):
-            vals = []
-            for _ in range(4):
-                vals.append(int.from_bytes(data[off: off + 32], "little"))
-                off += 32
-            g2s.append(((vals[0], vals[1]), (vals[2], vals[3])))
-        return ParamsKZG(k, pts[:n], pts[n:], g2s[0], g2s[1],
+            pt, off = _read_point(BN254_G1, data, off, fmt)
+            pts.append(pt)
+        g2, off = _read_g2(data, off, fmt)
+        s_g2, off = _read_g2(data, off, fmt)
+        return ParamsKZG(k, pts[:n], pts[n:], g2, s_g2,
                          s_secret=s_secret)
 
     # -- commitments (blind is ignored: KZG relies on the random poly) ---
 
+    def set_engine(self, engine):
+        """ZAL seam (see ParamsIPA.set_engine)."""
+        self.engine = engine
+
     def _cached(self, name, bases):
+        eng = getattr(self, "engine", None)
+        if eng is not None:
+            return eng.msm_backend.get_base_descriptor(self.curve, bases)
         if name not in self._cached_msm:
             self._cached_msm[name] = CachedMSM(self.curve, bases)
         return self._cached_msm[name]

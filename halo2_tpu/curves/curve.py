@@ -279,10 +279,10 @@ class Curve:
     # ------------------------------------------------------------------
 
     def point_to_bytes(self, pt) -> bytes:
-        """Affine (x, y) ints or None -> 32-byte compressed encoding.
-        Identity is all-zeros. Sign bit = y parity, stored in bit 255.
-        NOTE: documented encoding of this framework; halo2curves
-        byte-compat is tracked separately (compat/)."""
+        """Affine (x, y) ints or None -> 32-byte compressed encoding,
+        byte-identical to halo2curves/pasta_curves `C::to_bytes()` for the
+        supported curves (consumed at transcript.rs:160,360): x little-endian
+        with the y-parity sign in bit 255; identity is all-zeros."""
         if pt is None:
             return b"\x00" * 32
         x, y = pt

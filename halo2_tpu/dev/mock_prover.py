@@ -121,6 +121,16 @@ class _MockAssignment:
             raise NotEnoughRowsAvailable(self.k)
         self.copies.append(((lcol, lrow), (rcol, rrow)))
 
+    def fill_from_row(self, column: Column, from_row: int, value: Value):
+        """Table-column default padding (dev.rs fill_from_row analog)."""
+        if from_row > self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if value.is_known():
+            v = _reduce_value(value.value(), self.F.p)
+            for row in range(from_row, self.usable_rows):
+                self.fixed[column.index][row] = v
+                self.assigned.add((FIXED, column.index, row))
+
     def get_challenge(self, challenge) -> Value:
         if challenge.index in self.challenges:
             return Value.known(self.challenges[challenge.index])

@@ -112,7 +112,8 @@ class Field:
     `halo2_backend/src/poly/domain.rs:56-126`).
     """
 
-    def __init__(self, name: str, modulus: int, generator: int):
+    def __init__(self, name: str, modulus: int, generator: int,
+                 zeta: int = None):
         assert modulus < (1 << 255)
         self.name = name
         self.p = modulus
@@ -130,12 +131,16 @@ class Field:
         self.root_of_unity_inv = pow(self.root_of_unity, modulus - 2, modulus)
         self.delta = pow(generator, 1 << s, modulus)
         self.two_inv = pow(2, modulus - 2, modulus)
-        # primitive cube root of unity (exists for all supported fields:
-        # bn254 Fr/Fq and the pasta fields all have 3 | p - 1)
-        if (modulus - 1) % 3 == 0:
-            z = pow(generator, (modulus - 1) // 3, modulus)
-            assert z != 1 and pow(z, 3, modulus) == 1
-            self.zeta = z
+        # primitive cube root of unity.  The two nontrivial roots are both
+        # valid; each reference field PINS one (consensus-critical: it is
+        # the extended-domain coset generator, domain.rs:83).  Callers pass
+        # the pinned value (fields/constants.py documents provenance);
+        # absent that, default to generator^((p-1)/3).
+        if zeta is not None:
+            assert zeta != 1 and pow(zeta, 3, modulus) == 1
+            self.zeta = zeta
+        elif (modulus - 1) % 3 == 0:
+            self.zeta = pow(generator, (modulus - 1) // 3, modulus)
         else:
             self.zeta = None
 

@@ -226,6 +226,59 @@ class Region:
             self._layouter._constants_to_assign.append((constant, cell))
 
 
+class TableError(SynthesisError):
+    """Lookup-table layout errors (frontend/src/plonk/error.rs TableError)."""
+
+
+class _Table:
+    """SimpleTableLayouter (table_layouter.rs:73-116): records per-column
+    default values (the offset-0 assignment) and an assigned-cells bitmap."""
+
+    def __init__(self, layouter, used_columns):
+        self._layouter = layouter
+        self._used = used_columns
+        # TableColumn -> [default value | None, list[bool] assigned bitmap]
+        self.default_and_assigned: Dict = {}
+
+    def assign_cell(self, column, offset: int, value):
+        if column in self._used:
+            raise TableError(f"table column {column} already used in "
+                             "another table")
+        if callable(value):
+            value = value()
+        if not isinstance(value, Value):
+            value = Value.known(value)
+        entry = self.default_and_assigned.setdefault(column, [None, []])
+        self._layouter._assignment.assign_fixed(column.inner, offset, value)
+        if offset == 0:
+            if entry[0] is None:
+                # Use the value at offset 0 as the column default
+                # (table_layouter.rs:100-107).
+                entry[0] = value
+            else:
+                raise TableError(
+                    f"attempted to overwrite default value of {column}")
+        if len(entry[1]) <= offset:
+            entry[1].extend([False] * (offset + 1 - len(entry[1])))
+        entry[1][offset] = True
+
+
+def compute_table_lengths(default_and_assigned) -> int:
+    """All table columns must be fully assigned on [0, len) with equal len
+    (table_layouter.rs:118-170); returns that shared length."""
+    lengths = {}
+    for col, (default, assigned) in default_and_assigned.items():
+        if default is None or not assigned:
+            raise TableError(f"table column {col} not assigned")
+        if not all(assigned):
+            raise TableError(f"table column {col} has unassigned gaps")
+        lengths[col] = len(assigned)
+    distinct = set(lengths.values())
+    if len(distinct) > 1:
+        raise TableError(f"uneven table column lengths: {lengths}")
+    return distinct.pop() if distinct else 0
+
+
 class Layouter:
     """Single-chip layouter (floor_planner/single_pass.rs:28-105)."""
 
@@ -235,6 +288,7 @@ class Layouter:
         self._columns_cursor: Dict = {}
         self._constants_cursor = 0
         self._constants_to_assign: List = []
+        self._table_columns = set()
 
     def assign_region(self, name: str, closure: Callable):
         # pass 1: measure
@@ -254,8 +308,19 @@ class Layouter:
         return result
 
     def assign_table(self, name: str, closure: Callable):
-        """Table region (fixed-only); placed like a normal region."""
-        return self.assign_region(name, closure)
+        """Table region (single_pass.rs assign_table): cells at absolute
+        rows, then unused rows [first_unused, usable) are filled with each
+        column's default value so every usable row is a valid table entry."""
+        self._assignment.enter_region(name)
+        table = _Table(self, self._table_columns)
+        result = closure(table)
+        self._assignment.exit_region()
+        first_unused = compute_table_lengths(table.default_and_assigned)
+        for col in table.default_and_assigned:
+            self._table_columns.add(col)
+        for col, (default, _) in table.default_and_assigned.items():
+            self._assignment.fill_from_row(col.inner, first_unused, default)
+        return result
 
     def _flush_constants(self):
         if not self._constants_to_assign:
@@ -354,6 +419,17 @@ class KeygenAssembly:
             raise NotEnoughRowsAvailable(self.k)
         self.copies.append(((lcol, lrow), (rcol, rrow)))
 
+    def fill_from_row(self, column: Column, from_row: int, value: Value):
+        """Fill [from_row, usable_rows) with `value` (keygen.rs
+        fill_from_row) — the table-column default-padding hook."""
+        if from_row > self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if value.is_known():
+            v = _reduce_value(value.value(), self.p)
+            col = self.fixed[column.index]
+            for row in range(from_row, self.usable_rows):
+                col[row] = v
+
     def get_challenge(self, challenge) -> Value:
         return Value.unknown()
 
@@ -403,6 +479,9 @@ class WitnessCollection:
         self.advice[column.index][row] = _reduce_value(value.value(), self.p)
 
     def assign_fixed(self, column, row, value):
+        pass
+
+    def fill_from_row(self, column, from_row, value):
         pass
 
     def copy(self, *args):

@@ -27,8 +27,9 @@ from ..commit.base import Blind
 class ConstraintSystemBack:
     """Frontend CS + indexed query lists (backend circuit.rs:57-95)."""
 
-    def __init__(self, cs: ConstraintSystem):
+    def __init__(self, cs: ConstraintSystem, p: int = 0):
         self.cs = cs
+        self.p = p  # scalar modulus, for canonical constant rendering
         self.advice_queries: List[Tuple[Column, Rotation]] = []
         self.fixed_queries: List[Tuple[Column, Rotation]] = []
         self.instance_queries: List[Tuple[Column, Rotation]] = []
@@ -174,45 +175,26 @@ class VerifyingKey:
         self.transcript_repr = self._compute_repr()
 
     def pinned(self) -> str:
-        """Canonical description of everything consensus-critical about this
-        vk — the analog of the reference's `PinnedVerificationKey` Debug
-        format (plonk.rs:205-231), used both as the transcript_repr preimage
-        and as the golden-vector regression anchor (the reference pins the
-        whole string in plonk_api.rs:659-1120)."""
-        parts = [
-            f"base_modulus={self.curve.Fq.p:#x}",
-            f"scalar_modulus={self.F.p:#x}",
-            f"k={self.domain.k}", f"extended_k={self.domain.extended_k}",
-            f"omega={self.domain.omega:#x}",
-        ]
-        cs = self.cs.cs
-        parts.append(
-            f"cols=({cs.num_fixed_columns},{cs.num_advice_columns},"
-            f"{cs.num_instance_columns},{cs.num_challenges})")
-        parts.append(f"phases={cs.advice_column_phase}|{cs.challenge_phase}")
-        for gate in cs.gates:
-            for poly in gate.polys:
-                parts.append(poly.identifier())
-        for q in (self.cs.advice_queries, self.cs.fixed_queries,
-                  self.cs.instance_queries):
-            parts.append(str([(c.kind, c.index, r.i) for c, r in q]))
-        parts.append(str([(c.kind, c.index)
-                          for c in cs.permutation.columns]))
-        for lk in cs.lookups:
-            parts.append("|".join(e.identifier() for e in
-                                  lk.input_expressions + lk.table_expressions))
-        for sh in cs.shuffles:
-            parts.append("|".join(e.identifier() for e in
-                                  sh.input_expressions + sh.shuffle_expressions))
-        for pt in self.fixed_commitments + self.permutation.commitments:
-            parts.append(str(pt))
-        return ";".join(parts)
+        """`format!("{:#?}", vk.pinned())` — the pretty Debug string the
+        reference pins as its golden vector (plonk_api.rs:659-1141).
+        Byte-identical to the Rust output (compat/pinned.py)."""
+        from ..compat.pinned import pinned_pretty
+        return pinned_pretty(self)
+
+    def pinned_compact(self) -> str:
+        """`format!("{:?}", vk.pinned())` — the vk-hash preimage form
+        (plonk.rs:194-198)."""
+        from ..compat.pinned import pinned_compact
+        return pinned_compact(self)
 
     def _compute_repr(self) -> int:
-        """Pinned-vk hash (plonk.rs:189-202): Blake2b with the
-        Halo2-Verify-Key personalization over the pinned description."""
+        """Pinned-vk hash (plonk.rs:189-202): Blake2b-512 with the
+        Halo2-Verify-Key personalization over the u64-LE length-prefixed
+        compact Debug string, reduced via from_uniform_bytes."""
+        s = self.pinned_compact().encode()
         h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
-        h.update(self.pinned().encode())
+        h.update(len(s).to_bytes(8, "little"))
+        h.update(s)
         return self.F.from_uniform_bytes(h.digest())
 
     def hash_into(self, transcript):
@@ -234,16 +216,25 @@ class ProvingKey:
         self.ev = evaluator
 
 
-def keygen(F: Field, params, compiled: CompiledCircuit, k: int) -> ProvingKey:
-    """keygen_vk + keygen_pk fused (they share all heavy intermediates)."""
+def keygen(F: Field, params, compiled: CompiledCircuit, k: int,
+           engine=None) -> ProvingKey:
+    """keygen_vk + keygen_pk fused (they share all heavy intermediates).
+
+    `engine` is the PlonkEngine seam (engine.py, mirroring zal.rs:182-243):
+    when it carries a mesh, commitments run on sharded descriptor MSMs and
+    every domain transform routes through the distributed NTT."""
     from .prover import Evaluator   # local import to avoid cycle
 
     curve = params.curve
     cs = compiled.cs
-    cs_back = ConstraintSystemBack(cs)
+    cs_back = ConstraintSystemBack(cs, F.p)
     n = 1 << k
     degree = max(cs_back.degree(), 2)
     domain = EvaluationDomain(F, degree, k)
+    if engine is not None:
+        params.set_engine(engine)
+        if engine.mesh is not None:
+            domain.set_mesh(engine.mesh)
 
     # fixed columns -> device
     nf = cs.num_fixed_columns
@@ -258,7 +249,7 @@ def keygen(F: Field, params, compiled: CompiledCircuit, k: int) -> ProvingKey:
         F.zeros((0, domain.extended_n))
 
     fixed_commitments = [
-        params.commit_affine_lagrange(fixed_values[i], Blind(0))
+        params.commit_affine_lagrange(fixed_values[i], Blind(1))
         for i in range(nf)]
 
     # permutation
@@ -273,7 +264,7 @@ def keygen(F: Field, params, compiled: CompiledCircuit, k: int) -> ProvingKey:
         sigma_polys = domain.lagrange_to_coeff(sigmas)
         sigma_cosets = domain.coeff_to_extended(sigma_polys)
         perm_commitments = [
-            params.commit_affine_lagrange(sigmas[i], Blind(0))
+            params.commit_affine_lagrange(sigmas[i], Blind(1))
             for i in range(m)]
     else:
         sigmas = sigma_polys = F.zeros((0, n))

@@ -226,7 +226,7 @@ class Prover:
     """Multi-circuit prover state machine (prover.rs:130-899)."""
 
     def __init__(self, params, pk: ProvingKey, instances: List[List[List[int]]],
-                 rng, transcript, query_instance: bool):
+                 rng, transcript, query_instance: bool, engine=None):
         """instances: per circuit, per instance column, list of values.
         query_instance: True for IPA (commit instances), False for KZG
         (absorb values as common scalars)."""
@@ -237,6 +237,12 @@ class Prover:
         self.rng = rng
         self.transcript = transcript
         self.query_instance = query_instance
+        self.engine = engine
+        self.mesh = engine.mesh if engine is not None else None
+        if engine is not None:
+            params.set_engine(engine)
+            if engine.mesh is not None and pk.vk.domain._mesh is None:
+                pk.vk.domain.set_mesh(engine.mesh)
         self.challenges: Dict[int, int] = {}
         self.next_phase_index = 0
         cs = pk.vk.cs.cs
@@ -270,7 +276,7 @@ class Prover:
                 ni, n, NLIMBS) if ni else F.zeros((0, n))
             if query_instance:
                 for i in range(ni):
-                    comm = params.commit_affine_lagrange(vals[i], Blind(0))
+                    comm = params.commit_affine_lagrange(vals[i], Blind(1))
                     transcript.common_point(comm)
             self.instance_values.append(vals)
             self.instance_polys.append(
@@ -278,7 +284,7 @@ class Prover:
 
         na = cs.num_advice_columns
         self.advice_values = [F.zeros((na, n)) for _ in instances]
-        self.advice_blinds = [[Blind(0)] * na for _ in instances]
+        self.advice_blinds = [[Blind(1)] * na for _ in instances]
 
     # ------------------------------------------------------------------
 
@@ -309,7 +315,7 @@ class Prover:
                         values[r] = rng.randrange(F.p)
                     blind = Blind(rng.randrange(F.p))
                 else:
-                    blind = Blind(0)
+                    blind = Blind(1)
                 col = F.encode_ints(values)
                 comm = self.params.commit_affine_lagrange(col, blind)
                 # [TRANSCRIPT-3]
@@ -452,6 +458,9 @@ class Prover:
             else:
                 h_poly = F.add(F.mul(h_poly, F.encode_int(xn)), piece)
                 h_blind = (h_blind * xn + blind.value) % p
+        import os as _os
+        if _os.environ.get("HALO2_TPU_DEBUG"):
+            print(f"[dbg prover] x={x:#x} h_poly(x)={evalp(h_poly, x):#x}")
         t.write_scalar(evalp(random_poly, x))
 
         # [TRANSCRIPT-20] sigma evals
@@ -494,7 +503,7 @@ class Prover:
                 for column, at in cs_back.instance_queries:
                     if column.index not in inst_refs:
                         inst_refs[column.index] = PolyRef(
-                            self.instance_polys[c][column.index], Blind(0))
+                            self.instance_polys[c][column.index], Blind(1))
                     queries.append(ProverQuery(
                         domain.rotate_omega_int(x, at),
                         inst_refs[column.index]))
@@ -533,13 +542,13 @@ class Prover:
         for column, at in cs_back.fixed_queries:
             if column.index not in fixed_refs:
                 fixed_refs[column.index] = PolyRef(
-                    pk.fixed_polys[column.index], Blind(0))
+                    pk.fixed_polys[column.index], Blind(1))
             queries.append(ProverQuery(
                 domain.rotate_omega_int(x, at), fixed_refs[column.index]))
         # sigma polys
         for j in range(m):
             queries.append(ProverQuery(
-                x, PolyRef(pk.permutation.polys[j], Blind(0))))
+                x, PolyRef(pk.permutation.polys[j], Blind(1))))
         # h and random poly
         queries.append(ProverQuery(x, PolyRef(h_poly, Blind(h_blind))))
         queries.append(ProverQuery(x, PolyRef(random_poly, random_blind)))
@@ -706,7 +715,11 @@ class Prover:
                     F.mul(deltaomega, b_enc), g_enc), vals))
                 delta_power += 1
 
-            cum = prefix_product(F, modified)
+            if self.mesh is not None:
+                from ..dist.scan import sharded_prefix_product
+                cum = sharded_prefix_product(self.mesh, F, modified)
+            else:
+                cum = prefix_product(F, modified)
             z = jnp.concatenate(
                 [F.encode_ints([last_z]),
                  F.mul(cum[:-1], F.encode_int(last_z))], axis=0)

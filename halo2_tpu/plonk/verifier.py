@@ -15,8 +15,7 @@ from ..commit.base import Blind, VerifierQuery
 from .keygen import VerifyingKey
 
 
-class VerifyError(Exception):
-    pass
+from .errors import VerifyError  # re-export; taxonomy in plonk/errors.py
 
 
 def verify_proof(params, vk: VerifyingKey, transcript,
@@ -47,7 +46,7 @@ def verify_proof(params, vk: VerifyingKey, transcript,
                     raise VerifyError("instance too large")
                 col = [v % p for v in values] + [0] * (n - len(values))
                 comm = params.commit_affine_lagrange(
-                    F.encode_ints(col), Blind(0))
+                    F.encode_ints(col), Blind(1))
                 comms.append(comm)
             instance_commitments.append(comms)
 
@@ -268,6 +267,9 @@ def verify_proof(params, vk: VerifyingKey, transcript,
             fold((left - right) * active_rows % p)
 
     expected_h_eval = h_sum * pow((xn - 1) % p, p - 2, p) % p
+    import os as _os
+    if _os.environ.get("HALO2_TPU_DEBUG"):
+        print(f"[dbg verifier] x={x:#x} expected_h_eval={expected_h_eval:#x}")
 
     # folded h commitment: sum xn^i * H_i as an MSM (vanishing/verifier.rs)
     h_msm = params.empty_msm()
@@ -281,49 +283,63 @@ def verify_proof(params, vk: VerifyingKey, transcript,
     x_next = domain.rotate_omega_int(x, Rotation(1))
     x_last = domain.rotate_omega_int(x, Rotation(-(bf + 1)))
     x_prev = domain.rotate_omega_int(x, Rotation(-1))
+    # `ident` mirrors the reference's pointer identity on commitment refs
+    # (query.rs:140-147): one column queried at several rotations merges,
+    # but distinct columns with EQUAL commitment values stay distinct.
     for c in range(n_circ):
         if query_instance:
             for qi, (column, at) in enumerate(cs_back.instance_queries):
                 queries.append(VerifierQuery(
                     domain.rotate_omega_int(x, at),
                     instance_commitments[c][column.index],
-                    instance_evals[c][qi]))
+                    instance_evals[c][qi], ident=("inst", c, column.index)))
         for qi, (column, at) in enumerate(cs_back.advice_queries):
             queries.append(VerifierQuery(
                 domain.rotate_omega_int(x, at),
-                advice_commitments[c][column.index], advice_evals[c][qi]))
+                advice_commitments[c][column.index], advice_evals[c][qi],
+                ident=("adv", c, column.index)))
         sets = permutations_evaluated[c]
         comms = permutations_committed[c]
-        for (ev, ev_next, _), comm in zip(sets, comms):
-            queries.append(VerifierQuery(x, comm, ev))
-            queries.append(VerifierQuery(x_next, comm, ev_next))
-        for (ev, ev_next, ev_last), comm in reversed(
-                list(zip(sets, comms))[:-1]):
-            queries.append(VerifierQuery(x_last, comm, ev_last))
-        for (pin_c, ptab_c), prod_c, evs in zip(
+        for si, ((ev, ev_next, _), comm) in enumerate(zip(sets, comms)):
+            queries.append(VerifierQuery(x, comm, ev,
+                                         ident=("permz", c, si)))
+            queries.append(VerifierQuery(x_next, comm, ev_next,
+                                         ident=("permz", c, si)))
+        for si, ((ev, ev_next, ev_last), comm) in reversed(
+                list(enumerate(zip(sets, comms)))[:-1]):
+            queries.append(VerifierQuery(x_last, comm, ev_last,
+                                         ident=("permz", c, si)))
+        for li, ((pin_c, ptab_c), prod_c, evs) in enumerate(zip(
                 lookups_permuted[c], lookups_committed[c],
-                lookups_evaluated[c]):
+                lookups_evaluated[c])):
             prod_ev, prod_next, pin_ev, pin_prev, ptab_ev = evs
             queries += [
-                VerifierQuery(x, prod_c, prod_ev),
-                VerifierQuery(x, pin_c, pin_ev),
-                VerifierQuery(x, ptab_c, ptab_ev),
-                VerifierQuery(x_prev, pin_c, pin_prev),
-                VerifierQuery(x_next, prod_c, prod_next),
+                VerifierQuery(x, prod_c, prod_ev, ident=("lkz", c, li)),
+                VerifierQuery(x, pin_c, pin_ev, ident=("lkin", c, li)),
+                VerifierQuery(x, ptab_c, ptab_ev, ident=("lktab", c, li)),
+                VerifierQuery(x_prev, pin_c, pin_prev,
+                              ident=("lkin", c, li)),
+                VerifierQuery(x_next, prod_c, prod_next,
+                              ident=("lkz", c, li)),
             ]
-        for comm, (prod_ev, prod_next) in zip(shuffles_committed[c],
-                                              shuffles_evaluated[c]):
-            queries.append(VerifierQuery(x, comm, prod_ev))
-            queries.append(VerifierQuery(x_next, comm, prod_next))
+        for si, (comm, (prod_ev, prod_next)) in enumerate(zip(
+                shuffles_committed[c], shuffles_evaluated[c])):
+            queries.append(VerifierQuery(x, comm, prod_ev,
+                                         ident=("shz", c, si)))
+            queries.append(VerifierQuery(x_next, comm, prod_next,
+                                         ident=("shz", c, si)))
     for qi, (column, at) in enumerate(cs_back.fixed_queries):
         queries.append(VerifierQuery(
             domain.rotate_omega_int(x, at),
-            vk.fixed_commitments[column.index], fixed_evals[qi]))
+            vk.fixed_commitments[column.index], fixed_evals[qi],
+            ident=("fix", column.index)))
     for j in range(m):
         queries.append(VerifierQuery(x, vk.permutation.commitments[j],
-                                     sigma_evals[j]))
-    queries.append(VerifierQuery(x, h_msm, expected_h_eval, is_msm=True))
-    queries.append(VerifierQuery(x, random_commitment, random_eval))
+                                     sigma_evals[j], ident=("sigma", j)))
+    queries.append(VerifierQuery(x, h_msm, expected_h_eval, is_msm=True,
+                                 ident=("h",)))
+    queries.append(VerifierQuery(x, random_commitment, random_eval,
+                                 ident=("rand",)))
 
     return queries
 

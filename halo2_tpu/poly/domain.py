@@ -93,6 +93,8 @@ class EvaluationDomain:
 
         self._ntt = get_ntt(F, k)
         self._ntt_ext = get_ntt(F, extended_k)
+        self._mesh = None
+        self._sharded = {}    # (log_n,) -> ShardedNTT
         # zeta power pattern for distribute_powers_zeta: period 3
         self._zeta_fwd = F.encode_ints([1, self.g_coset, self.g_coset_inv])
         self._zeta_inv = F.encode_ints([1, self.g_coset_inv, self.g_coset])
@@ -120,12 +122,41 @@ class EvaluationDomain:
     # transforms (all batched over leading dims; poly axis = -2)
     # ------------------------------------------------------------------
 
+    def set_mesh(self, mesh):
+        """Route all transforms through the distributed NTT (dist/ntt.py:
+        local four-step stages + all-to-all exchanges) — the multi-chip
+        scaling seam (SURVEY §5.7-5.8).  Must be called before the first
+        transform trace; row counts must be divisible by the mesh size."""
+        from ..dist.ntt import ShardedNTT
+        self._mesh = mesh
+        if mesh is not None:
+            self._sharded[self.k] = ShardedNTT(
+                mesh, self.F, self.k, self.omega)
+            self._sharded[self.extended_k] = ShardedNTT(
+                mesh, self.F, self.extended_k, self.extended_omega)
+
+    def _apply_sharded(self, log_n, a, inverse: bool):
+        """Apply the sharded transform along axis -2, unrolling any batch
+        dims (each column is one shard_map call)."""
+        sn = self._sharded[log_n]
+        fn = sn.inverse if inverse else sn.forward
+        if a.ndim == 2:
+            return fn(a)
+        batch = a.shape[:-2]
+        flat = a.reshape((-1,) + a.shape[-2:])
+        out = jnp.stack([fn(flat[i]) for i in range(flat.shape[0])], axis=0)
+        return out.reshape(batch + out.shape[-2:])
+
     def lagrange_to_coeff(self, a):
         assert a.shape[-2] == self.n
+        if self._mesh is not None:
+            return self._apply_sharded(self.k, a, inverse=True)
         return self._ntt.inverse(a)
 
     def coeff_to_lagrange(self, a):
         assert a.shape[-2] == self.n
+        if self._mesh is not None:
+            return self._apply_sharded(self.k, a, inverse=False)
         return self._ntt.forward(a)
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -143,13 +174,18 @@ class EvaluationDomain:
         pad = [(0, 0)] * a.ndim
         pad[-2] = (0, self.extended_n - self.n)
         a = jnp.pad(a, pad)
+        if self._mesh is not None:
+            return self._apply_sharded(self.extended_k, a, inverse=False)
         return self._ntt_ext.forward(a)
 
     def extended_to_coeff(self, a):
         """Extended coset evaluations -> coefficient vector, truncated to
         n * quotient_poly_degree (domain.rs:271-293)."""
         assert a.shape[-2] == self.extended_n
-        a = self._ntt_ext.inverse(a)
+        if self._mesh is not None:
+            a = self._apply_sharded(self.extended_k, a, inverse=True)
+        else:
+            a = self._ntt_ext.inverse(a)
         a = self._distribute_zeta(a, self._zeta_inv)
         return a[..., : self.n * self.quotient_poly_degree, :]
 

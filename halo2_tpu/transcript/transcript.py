@@ -139,18 +139,27 @@ class _ReadBase(_TranscriptBase):
 
     def _take(self, n: int) -> bytes:
         if self._pos + n > len(self._proof):
-            raise ValueError("proof stream exhausted")
+            from ..plonk.errors import TranscriptError
+            raise TranscriptError("proof stream exhausted")
         out = self._proof[self._pos: self._pos + n]
         self._pos += n
         return out
 
     def read_point(self):
-        pt = self.curve.point_from_bytes(self._take(32))
+        from ..plonk.errors import TranscriptError
+        try:
+            pt = self.curve.point_from_bytes(self._take(32))
+        except ValueError as e:
+            raise TranscriptError(f"invalid point encoding in proof: {e}")
         self.common_point(pt)
         return pt
 
     def read_scalar(self) -> int:
-        s = self.Fr.from_repr(self._take(32))
+        from ..plonk.errors import TranscriptError
+        try:
+            s = self.Fr.from_repr(self._take(32))
+        except ValueError as e:
+            raise TranscriptError(f"invalid field element in proof: {e}")
         self.common_scalar(s)
         return s
 

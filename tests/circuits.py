@@ -100,9 +100,9 @@ class LookupCircuit(Circuit):
     def synthesize(self, config, layouter: Layouter):
         n_table = 1 << self.TABLE_BITS
 
-        def fill_table(region):
+        def fill_table(table):
             for i in range(n_table):
-                region.assign_fixed(config["table"].inner, i, i)
+                table.assign_cell(config["table"], i, i)
 
         layouter.assign_table("table", fill_table)
 

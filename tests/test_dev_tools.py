@@ -88,33 +88,52 @@ def test_batch_verifier(setup):
 
 
 def test_vk_pk_serde(setup):
+    """Reference-layout roundtrip (plonk.rs:58-155, :297-376): the vk hash
+    is NOT stored — it is recomputed from the recompiled constraint system
+    plus the stored commitments, so repr equality validates everything."""
+    import numpy as np
     params, pk, circuit, c = setup
     blob = vk_write(pk.vk)
     vk2 = vk_read(F, params, K, circuit, blob)
     assert vk2.transcript_repr == pk.vk.transcript_repr
+    assert vk2.fixed_commitments == pk.vk.fixed_commitments
 
     pkb = pk_write(pk)
     pk2 = pk_read(F, params, K, circuit, pkb)
     assert pk2.vk.transcript_repr == pk.vk.transcript_repr
+    assert np.array_equal(np.asarray(pk2.fixed_polys),
+                          np.asarray(pk.fixed_polys))
+    assert np.array_equal(np.asarray(pk2.permutation.cosets),
+                          np.asarray(pk.permutation.cosets))
 
-    # corrupted hash must be rejected
+    # header layout: version byte 0x04, then k as u8 (plonk.rs:73-78)
+    assert blob[0] == 0x04 and blob[1] == K
+
+    # corrupting a commitment byte breaks point decoding or moves the hash
     bad = bytearray(blob)
-    bad[-1] ^= 1
-    with pytest.raises(ValueError):
-        vk_read(F, params, K, circuit, bytes(bad))
+    bad[-1] ^= 0x41
+    try:
+        vk_bad = vk_read(F, params, K, circuit, bytes(bad))
+        assert vk_bad.transcript_repr != pk.vk.transcript_repr
+    except ValueError:
+        pass
 
 
 def test_vk_serde_formats(setup):
     """helpers.rs SerdeFormat: PROCESSED (compressed, checked), RAW_BYTES
-    (Montgomery coords, on-curve checked), RAW_BYTES_UNCHECKED."""
+    (Montgomery coords, on-curve checked), RAW_BYTES_UNCHECKED.  The format
+    is out-of-band (a function argument), as in the reference."""
     from halo2_tpu.compat import SerdeFormat
     params, pk, circuit, c = setup
     for fmt in SerdeFormat:
         blob = vk_write(pk.vk, fmt)
-        vk2 = vk_read(F, params, K, circuit, blob)
+        vk2 = vk_read(F, params, K, circuit, blob, fmt)
         assert vk2.transcript_repr == pk.vk.transcript_repr, fmt
+    # RAW_BYTES is 64 bytes/point vs 32 compressed
+    assert len(vk_write(pk.vk, SerdeFormat.RAW_BYTES)) > len(
+        vk_write(pk.vk, SerdeFormat.PROCESSED))
     # RAW_BYTES validates curve membership; corrupt a coordinate byte
     blob = bytearray(vk_write(pk.vk, SerdeFormat.RAW_BYTES))
     blob[14] ^= 0x5A
     with pytest.raises(ValueError):
-        vk_read(F, params, K, circuit, bytes(blob))
+        vk_read(F, params, K, circuit, bytes(blob), SerdeFormat.RAW_BYTES)

@@ -25,11 +25,11 @@ F = PASTA_FP
 K = 5
 
 PINNED_VK_SHA256 = \
-    "a73a456b430de2fd8e2fe723a266da37a46cbc2ca656871f88e19115b817097e"
+    "60574e82de83783bbb54838623dad0670737c6a32f6ee47722a99a20546488f3"
 TRANSCRIPT_REPR = \
-    0x11ac1a8eff3898d908fa4780957f212b50314079cb9c3a96d3aa2172892d6031
+    0x0b8af4d112faf6d4beaa3f5cdd342fa078258c429d164b0995a73050f22abe1b
 PROOF_SHA256 = \
-    "43c120dfc3a5935d1c3c15bca1dfeb296de2353380c74df2e6e83a6432ff0636"
+    "2ef8d7551fc0b4322fc20f6fdc8244ffc79543a24f788e8b0435f137665da6a1"
 PROOF_LEN = 1536
 
 

@@ -119,9 +119,10 @@ def test_tampered_proof_changes_challenges():
     bad[0] ^= 1
     r = Blake2bRead(VESTA, bytes(bad))
     r.squeeze_challenge()
+    from halo2_tpu.plonk.errors import TranscriptError
     try:
         pt = r.read_point()  # may fail to decode; if it decodes, challenge differs
         r2 = r.squeeze_challenge()
         # after reading 3 points the stream diverges from original challenges
-    except ValueError:
+    except TranscriptError:
         return

@@ -122,12 +122,136 @@ def main():
     log(f"ntt 2^{ntt_k}: {ntt_time*1e3:.1f} ms -> "
         f"{(1 << ntt_k) / ntt_time:,.0f} elems/s")
 
-    print(json.dumps({
+    # ---- roofline: peak Montgomery-mul throughput (the speed-of-light
+    # denominator for every field kernel; BASELINE ">80% of roofline")
+    from halo2_tpu.msm.msm import auto_c
+    from halo2_tpu.msm.bucket_scan import n_windows_for
+    rk = 1 << 21
+    a0 = F.to_mont(jax.random.randint(jax.random.PRNGKey(77), (rk, 16), 0,
+                                      1 << 16, dtype=jnp.int32
+                                      ).astype(jnp.uint32))
+    b0 = F.to_mont(jax.random.randint(jax.random.PRNGKey(78), (rk, 16), 0,
+                                      1 << 16, dtype=jnp.int32
+                                      ).astype(jnp.uint32))
+    out_m = F.mul(a0, b0)
+    np.asarray(out_m[0])           # compile + first
+    t0 = time.time()
+    reps = 8
+    for _ in range(reps):
+        out_m = F.mul(out_m, b0)   # chained: distinct inputs each rep
+    np.asarray(out_m[0])
+    mul_rate = rk * reps / max(time.time() - t0 - rtt, 1e-9)
+    log(f"field mul: {mul_rate/1e6:,.0f} M muls/s")
+
+    c_used = auto_c(n)
+    n_win = n_windows_for(F, c_used)
+    MULS_PER_MADD = 11   # Renes-Costello Alg 8 (a=0), b3 via add chains
+    msm_roofline = mul_rate / (n_win * MULS_PER_MADD)
+    msm_frac = pps / msm_roofline
+    log(f"msm roofline (c={c_used}, {n_win} windows x {MULS_PER_MADD} muls)"
+        f": {msm_roofline:,.0f} pts/s -> measured fraction {msm_frac:.2f}")
+
+    ntt_muls_per_elem = ntt_k / 2 + 1   # four-step: n/2 log n butterflies + twiddle
+    ntt_roofline = mul_rate / ntt_muls_per_elem
+    ntt_rate = (1 << ntt_k) / ntt_time
+    ntt_frac = ntt_rate / ntt_roofline
+    log(f"ntt roofline ({ntt_muls_per_elem:.0f} muls/elem): "
+        f"{ntt_roofline:,.0f} elems/s -> measured fraction {ntt_frac:.2f}")
+
+    roofline = {
+        "field_mul_per_s": round(mul_rate),
+        "msm_roofline_pts_per_s": round(msm_roofline),
+        "msm_fraction": round(msm_frac, 3),
+        "ntt_roofline_elems_per_s": round(ntt_roofline),
+        "ntt_fraction": round(ntt_frac, 3),
+    }
+
+    # ---- end-to-end prover (BASELINE config 3: plonk_api-class circuit,
+    # KZG/BN254 + SHPLONK, full 14-step prover) --------------------------
+    e2e = None
+    if os.environ.get("HALO2_TPU_BENCH_NO_E2E") != "1":
+        try:
+            e2e = bench_e2e(int(os.environ.get("HALO2_TPU_BENCH_E2E_K",
+                                               "18")))
+        except Exception as e:  # keep the headline line printing
+            log(f"e2e bench failed: {type(e).__name__}: {e}")
+
+    out = {
         "metric": "msm_points_per_sec",
         "value": round(pps),
         "unit": "points/s",
         "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 4),
-    }), flush=True)
+    }
+    out["roofline"] = roofline
+    if e2e is not None:
+        out["e2e"] = e2e
+    print(json.dumps(out), flush=True)
+
+
+def bench_e2e(k: int) -> dict:
+    """Full keygen -> prove -> verify at 2^k rows on the plonk_api-class
+    circuit (lookup + permutation + vanishing), KZG/BN254 with the SHPLONK
+    multiopen and Blake2b transcript.  Emits the per-[TRANSCRIPT-N] step
+    wall-time table (the transcript's host fetches make steps synchronous,
+    so these are honest device times)."""
+    import random
+
+    from halo2_tpu.api import create_proof, keygen, verify
+    from halo2_tpu.commit import (ParamsKZG, ProverSHPLONK, VerifierSHPLONK,
+                                  SingleStrategyKZG)
+    from halo2_tpu.compat.plonk_api import plonk_api_instance
+    from halo2_tpu.fields import BN254_FR
+
+    F = BN254_FR
+    log(f"[e2e] plonk_api-class circuit, KZG/BN254 + SHPLONK, k={k}")
+    circuit, instances = plonk_api_instance(F)
+
+    t0 = time.time()
+    params = ParamsKZG.new(k)
+    log(f"[e2e] params (cached setup): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    pk = keygen(F, params, k, circuit)
+    t_keygen = time.time() - t0
+    log(f"[e2e] keygen: {t_keygen:.1f}s")
+
+    # first proof includes compilation; second is the steady-state number
+    timings = {}
+    t0 = time.time()
+    proof = create_proof(params, pk, [circuit], [instances],
+                         random.Random(1), multiopen_prover_cls=ProverSHPLONK,
+                         timings=timings)
+    t_first = time.time() - t0
+    log(f"[e2e] prove (compile+first): {t_first:.1f}s")
+
+    timings = {}
+    t0 = time.time()
+    proof = create_proof(params, pk, [circuit], [instances],
+                         random.Random(2), multiopen_prover_cls=ProverSHPLONK,
+                         timings=timings)
+    t_prove = time.time() - t0
+    log(f"[e2e] prove (steady-state): {t_prove:.1f}s; step table:")
+    for name, secs in timings.items():
+        log(f"[e2e]   {name:34s} {secs:8.2f}s")
+
+    t0 = time.time()
+    ok = verify(params, pk.vk, proof, [instances],
+                multiopen_verifier_cls=VerifierSHPLONK,
+                strategy_cls=SingleStrategyKZG)
+    t_verify = time.time() - t0
+    log(f"[e2e] verify: {t_verify:.1f}s ok={ok}")
+    assert ok, "e2e proof failed verification"
+
+    return {
+        "k": k,
+        "scheme": "KZG/BN254 + SHPLONK + Blake2b",
+        "keygen_s": round(t_keygen, 2),
+        "prove_first_s": round(t_first, 2),
+        "prove_s": round(t_prove, 2),
+        "verify_s": round(t_verify, 2),
+        "proof_bytes": len(proof),
+        "steps_s": {n: round(s, 2) for n, s in timings.items()},
+    }
 
 
 if __name__ == "__main__":

@@ -30,20 +30,27 @@ def keygen(F, params, k: int, circuit, compress_selectors: bool = True,
 
 def create_proof(params, pk, circuits: List, instances: List[List[List[int]]],
                  rng=None, transcript_cls=Blake2bWrite,
-                 multiopen_prover_cls=ProverIPA, engine=None) -> bytes:
+                 multiopen_prover_cls=ProverIPA, engine=None,
+                 timings: Optional[dict] = None) -> bytes:
     """Full proof over one or more circuit instances
-    (halo2_proofs/src/plonk/prover.rs:19-98)."""
+    (halo2_proofs/src/plonk/prover.rs:19-98).  Pass a dict as `timings` to
+    collect the per-[TRANSCRIPT-N] step wall-time table (SURVEY §5.1)."""
+    import time
     F = pk.vk.F
     k = pk.vk.k
     rng = rng if rng is not None else new_rng()
     transcript = transcript_cls(params.curve)
     mo_prover = multiopen_prover_cls(params)
 
+    t0 = time.time()
     prover = Prover(params, pk, instances, rng, transcript,
                     query_instance=mo_prover.QUERY_INSTANCE, engine=engine)
+    prover.timings = {} if timings is None else timings
+    prover.timings["instances [T1-2]"] = time.time() - t0
 
     # per-circuit witness calculators over freshly-configured constraint
     # systems (must structurally match the pk's)
+    t0 = time.time()
     calcs = []
     for circuit, inst in zip(circuits, instances):
         compiled, config, cs = compile_circuit(F, k, circuit)
@@ -54,9 +61,12 @@ def create_proof(params, pk, circuits: List, instances: List[List[List[int]]],
     for phase in cs.phases():
         witnesses = [calc.calc(phase, challenges) for calc in calcs]
         challenges = prover.commit_phase(phase, witnesses)
+    prover.timings["witness+advice_commits [T3-4]"] = time.time() - t0
 
     queries = prover.create_proof()
+    t0 = time.time()
     mo_prover.create_proof(rng, transcript, queries)
+    prover.timings["multiopen [T24+]"] = time.time() - t0
     return transcript.finalize()
 
 

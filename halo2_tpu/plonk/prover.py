@@ -78,8 +78,15 @@ class Evaluator:
         n_circ = len(advice_polys)
         key = n_circ
         if key not in self._compiled:
-            self._compiled[key] = jax.jit(
-                functools.partial(self._h_fn, pk))
+            if self.domain._mesh is not None:
+                # Meshed path: run eagerly so each sub-op (the per-column
+                # shard_map NTTs especially) compiles ONCE and is reused;
+                # tracing the whole pass as one program with SPMD
+                # partitioning explodes compile time on virtual meshes.
+                self._compiled[key] = functools.partial(self._h_fn, pk)
+            else:
+                self._compiled[key] = jax.jit(
+                    functools.partial(self._h_fn, pk))
         args = {
             "advice": advice_polys, "instance": instance_polys,
             "challenges": challenges,
@@ -335,9 +342,24 @@ class Prover:
 
     # ------------------------------------------------------------------
 
+    def _tick(self, name: str):
+        """Record wall time since the previous tick under `name`.  The
+        transcript's host fetches make the prover synchronous at every
+        commitment, so these are honest step times ([TRANSCRIPT-N] table;
+        SURVEY §5.1 profiling methodology)."""
+        import time
+        now = time.time()
+        if getattr(self, "_t_last", None) is not None:
+            self.timings[name] = self.timings.get(name, 0.0) + (
+                now - self._t_last)
+        self._t_last = now
+
     def create_proof(self):
+        import time
         F = self.F
         p = F.p
+        self.timings = getattr(self, "timings", {})
+        self._t_last = time.time()
         pk = self.pk
         params = self.params
         cs_back = pk.vk.cs
@@ -362,6 +384,7 @@ class Prover:
                 self._lookup_commit_permuted(c, lk, theta, challenges_enc)
                 for lk in cs.lookups])
 
+        self._tick('lookup_permute [T5-6]')
         # [TRANSCRIPT-7/8] beta, gamma
         beta = t.squeeze_challenge()
         gamma = t.squeeze_challenge()
@@ -385,6 +408,7 @@ class Prover:
                                              challenges_enc)
                 for sh in cs.shuffles])
 
+        self._tick('grand_products [T9-11]')
         # [TRANSCRIPT-12] vanishing random poly — generated device-side from
         # an rng-derived seed (the reference parallelizes exactly this with
         # per-chunk ChaCha20 seeding, vanishing/prover.rs:55-85 /
@@ -398,6 +422,7 @@ class Prover:
         advice_polys = [domain.lagrange_to_coeff(a) if a.shape[0] else a
                         for a in self.advice_values]
 
+        self._tick('vanishing_random [T12]')
         # [TRANSCRIPT-13] y; evaluate h
         y = t.squeeze_challenge()
         h_ext = pk.ev.evaluate_h(
@@ -410,6 +435,7 @@ class Prover:
             [[sh["product_poly"] for sh in shc] for shc in shuffles_committed],
             [[s["poly"] for s in pz] for pz in permutations_z])
 
+        self._tick('evaluate_h [T13]')
         # [TRANSCRIPT-14] h pieces
         h_ext = domain.divide_by_vanishing_poly(h_ext)
         h_coeff = domain.extended_to_coeff(h_ext)
@@ -419,6 +445,7 @@ class Prover:
         for piece, blind in zip(h_pieces, h_blinds):
             t.write_point(params.commit_affine(piece, blind))
 
+        self._tick('h_pieces [T14]')
         # [TRANSCRIPT-15] x
         x = t.squeeze_challenge()
         xn = pow(x, n, p)
@@ -495,6 +522,7 @@ class Prover:
                 t.write_scalar(evalp(sh["product_poly"], x))
                 t.write_scalar(evalp(sh["product_poly"], x_next))
 
+        self._tick('evals [T15-23]')
         # 13. assemble prover queries (prover.rs:840-889)
         queries: List[ProverQuery] = []
         for c in range(n_circ):

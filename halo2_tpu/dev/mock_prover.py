@@ -200,6 +200,8 @@ class MockProver:
     # ------------------------------------------------------------------
 
     def _matrices(self):
+        if getattr(self, "_matrices_cache", None) is not None:
+            return self._matrices_cache
         F, n = self.F, self.n
 
         def enc(cols, width):
@@ -219,7 +221,9 @@ class MockProver:
         selectors = enc([[1 if b else 0 for b in s] for s in self.selectors],
                         n) if self.selectors else None
         challenges = {i: F.encode_int(v) for i, v in self.challenges.items()}
-        return fixed, advice, instance, selectors, challenges
+        self._matrices_cache = (fixed, advice, instance, selectors,
+                                challenges)
+        return self._matrices_cache
 
     def verify(self) -> List[VerifyFailure]:
         return self.verify_at_rows(None, None)
@@ -267,6 +271,61 @@ class MockProver:
                         f"{list(map(int, rows))}",
                         location=self._region_at(row0),
                         cell_values=self._gate_cell_values(gate, row0)))
+
+        # ConstraintPoisoned (failure.rs:158-171): a selector-enabled gate
+        # at a row whose queried cells reach into the poisoned blinding
+        # region (rows >= usable), where advice holds random values in a
+        # real proof — the constraint cannot be meaningfully checked there.
+        for gidx, gate in enumerate(self.cs.gates):
+            if not gate.queried_selectors:
+                continue
+            rots = sorted({rot.i for _c, rot in gate.queried_cells})
+            reach = [r for r in rots if r != 0]
+            if not reach:
+                continue
+            sel_rows = set()
+            for sel in gate.queried_selectors:
+                sel_rows.update(
+                    r for r in range(usable) if self.selectors[sel.index][r])
+            gmeta = metadata.Gate(gidx, gate.name)
+            for row in sorted(sel_rows):
+                if any(not (0 <= row + ri < usable) for ri in rots):
+                    failures.append(VerifyFailure(
+                        "constraint_poisoned",
+                        f"{gmeta} enabled at row {row} reaches poisoned "
+                        f"rows (usable = {usable})",
+                        location=self._region_at(row)))
+                    break
+
+        # InstanceCellNotAssigned (failure.rs:147-157): a selector-enabled
+        # gate queries an instance cell beyond the provided values.
+        for gidx, gate in enumerate(self.cs.gates):
+            if not gate.queried_selectors:
+                continue
+            inst_q = [(c, rot) for c, rot in gate.queried_cells
+                      if c.kind == INSTANCE]
+            if not inst_q:
+                continue
+            sel_rows = set()
+            for sel in gate.queried_selectors:
+                sel_rows.update(
+                    r for r in range(usable) if self.selectors[sel.index][r])
+            gmeta = metadata.Gate(gidx, gate.name)
+            done = False
+            for row in sorted(sel_rows):
+                for col, rot in inst_q:
+                    irow = row + rot.i
+                    if 0 <= irow < usable and \
+                            irow >= len(self.instances[col.index]):
+                        failures.append(VerifyFailure(
+                            "instance_cell_not_assigned",
+                            f"{gmeta} at row {row} queries unassigned "
+                            f"instance cell {col}[{irow}]",
+                            location=self._region_at(row)))
+                        done = True
+                        break
+                if done:
+                    break
 
         # lookups: each input row value must appear in the table multiset
         for lk in self.cs.lookups:

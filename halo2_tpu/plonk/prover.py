@@ -31,6 +31,15 @@ from .evaluation import evaluate_expression
 from .keygen import ProvingKey
 
 
+def _sanity_on() -> bool:
+    """HALO2_TPU_SANITY=1 enables the reference's `sanity-checks` feature
+    tier: expensive in-prover invariant asserts (lookup grand product
+    lookup/prover.rs:269-305, permuted-pair invariant :475-488, unblinded
+    advice rows zero prover.rs:418-421)."""
+    import os
+    return os.environ.get("HALO2_TPU_SANITY") == "1"
+
+
 def _random_poly_device(F: Field, n: int, rng):
     """n uniform field elements as (n, NLIMBS) Montgomery limbs, built on
     device from 384 rng-derived bits each (bias < 2^-128): value =
@@ -76,7 +85,9 @@ class Evaluator:
         """
         F = self.F
         n_circ = len(advice_polys)
-        key = n_circ
+        # cache key carries the pk identity explicitly: a second pk with the
+        # same circuit count must never reuse this pk's compiled fn
+        key = (id(pk), n_circ)
         if key not in self._compiled:
             if self.domain._mesh is not None:
                 # Meshed path: run eagerly so each sub-op (the per-column
@@ -322,6 +333,12 @@ class Prover:
                         values[r] = rng.randrange(F.p)
                     blind = Blind(rng.randrange(F.p))
                 else:
+                    if _sanity_on():
+                        # prover.rs:418-421: unblinded columns must already
+                        # be zero on the blinding rows
+                        assert all(v == 0 for v in
+                                   values[unusable_start:]), \
+                            f"unblinded column {ci} nonzero blinding rows"
                     blind = Blind(1)
                 col = F.encode_ints(values)
                 comm = self.params.commit_affine_lagrange(col, blind)
@@ -646,6 +663,13 @@ class Prover:
                 perm_tab[repeated_rows.pop()] = v
         assert not repeated_rows
 
+        if _sanity_on():
+            # lookup/prover.rs:475-488: A'[i] == S'[i] or A'[i] == A'[i-1]
+            for i in range(usable):
+                assert perm_in[i] == perm_tab[i] or (
+                    i > 0 and perm_in[i] == perm_in[i - 1]), \
+                    f"permuted-pair invariant broken at row {i}"
+
         perm_in += [rng.randrange(p) for _ in range(bf + 1)]
         perm_tab += [rng.randrange(p) for _ in range(bf + 1)]
 
@@ -688,6 +712,23 @@ class Prover:
 
         cum = prefix_product(F, product)
         z = jnp.concatenate([F.ones((1,)), cum], axis=0)[: n - bf]
+
+        if _sanity_on():
+            # lookup/prover.rs:269-305: z telescopes back to 1 at u =
+            # usable_rows, and each step satisfies the product relation.
+            u = n - (bf + 1)
+            z_ints = F.decode_ints(z)
+            assert z_ints[0] == 1
+            assert z_ints[u] == 1, "lookup grand product does not telescope"
+            ai = F.decode_ints(pl["compressed_input"])
+            si = F.decode_ints(pl["compressed_table"])
+            pin = F.decode_ints(pl["permuted_input"])
+            ptab = F.decode_ints(pl["permuted_table"])
+            for i in range(u):
+                left = z_ints[i + 1] * (pin[i] + beta) % p                     * ((ptab[i] + gamma) % p) % p
+                right = z_ints[i] * ((ai[i] + beta) % p) % p                     * ((si[i] + gamma) % p) % p
+                assert left == right, f"lookup product relation at row {i}"
+
         z = jnp.concatenate(
             [z, F.encode_ints([rng.randrange(p) for _ in range(bf)])], axis=0)
 

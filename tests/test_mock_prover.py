@@ -120,3 +120,97 @@ def test_verify_at_rows_scopes_gate_checks():
     assert not [f for f in scoped if f.kind == "gate"]
     scoped_bad = prover.verify_at_rows(sorted(bad_rows), None)
     assert [f for f in scoped_bad if f.kind == "gate"]
+
+
+def test_constraint_poisoned_detected():
+    """A selector-enabled gate whose queried cells reach past usable rows
+    must report ConstraintPoisoned (dev.rs Poison / failure.rs:158-171)."""
+    from halo2_tpu.frontend import (Circuit, ConstraintSystem, Layouter,
+                                    Rotation)
+
+    class RotCircuit(Circuit):
+        def __init__(self, row):
+            self.row = row
+
+        def without_witnesses(self):
+            return RotCircuit(self.row)
+
+        def configure(self, meta: ConstraintSystem):
+            a = meta.advice_column()
+            s = meta.complex_selector()
+
+            def gate(cells):
+                sv = cells.query_selector(s)
+                cur = cells.query_advice(a, Rotation.cur())
+                nxt = cells.query_advice(a, Rotation.next())
+                return [sv * (nxt - cur)]
+
+            meta.create_gate("step", gate)
+            return {"a": a, "s": s}
+
+        def synthesize(self, config, layouter: Layouter):
+            def build(region):
+                config["s"].enable(region, 0)
+                region.assign_advice(config["a"], 0, 1)
+                if self.row == 0:
+                    region.assign_advice(config["a"], 1, 1)
+
+            # place the region explicitly at self.row via padding region
+            def pad(region):
+                region.assign_advice(config["a"], self.row - 1, 0) \
+                    if self.row else None
+
+            if self.row:
+                layouter.assign_region("pad", pad)
+            layouter.assign_region("rot", build)
+
+    F = PASTA_FP
+    k = 4
+    # enabled at a safe row: fine
+    mp = MockProver.run(F, k, RotCircuit(0), [])
+    assert not [f for f in mp.verify() if f.kind == "constraint_poisoned"]
+
+    usable = (1 << k) - (mp.cs.blinding_factors() + 1)
+    # enable the selector at the last usable row: Rotation::next() reaches
+    # into the poisoned blinding region
+    mp2 = MockProver.run(F, k, RotCircuit(usable - 1), [])
+    kinds = [f.kind for f in mp2.verify()]
+    assert "constraint_poisoned" in kinds, kinds
+
+
+def test_instance_cell_not_assigned_detected():
+    from halo2_tpu.frontend import (Circuit, ConstraintSystem, Layouter,
+                                    Rotation)
+
+    class InstCircuit(Circuit):
+        def without_witnesses(self):
+            return InstCircuit()
+
+        def configure(self, meta: ConstraintSystem):
+            a = meta.advice_column()
+            p = meta.instance_column()
+            s = meta.complex_selector()
+
+            def gate(cells):
+                sv = cells.query_selector(s)
+                av = cells.query_advice(a, Rotation.cur())
+                pv = cells.query_instance(p, Rotation.cur())
+                return [sv * (av - pv)]
+
+            meta.create_gate("public", gate)
+            return {"a": a, "s": s}
+
+        def synthesize(self, config, layouter: Layouter):
+            def build(region):
+                # rows 0 and 1 both enabled; instance only provides row 0
+                config["s"].enable(region, 0)
+                region.assign_advice(config["a"], 0, 5)
+                config["s"].enable(region, 1)
+                region.assign_advice(config["a"], 1, 0)
+
+            layouter.assign_region("r", build)
+
+    F = PASTA_FP
+    mp = MockProver.run(F, 4, InstCircuit(), [[5]])
+    kinds = [f.kind for f in mp.verify()]
+    assert "instance_cell_not_assigned" in kinds, kinds

@@ -47,6 +47,9 @@ def main():
 
     k = int(os.environ.get("HALO2_TPU_BENCH_K", "18"))
     n = 1 << k
+    cache_dir = os.path.expanduser("~/.cache/halo2_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    pts_cache = os.path.join(cache_dir, f"bench-points-{k}.npy")
     log(f"building {n} points ...")
     t0 = time.time()
 
@@ -68,9 +71,13 @@ def main():
 
         return jax.lax.fori_loop(0, k, round_, pts)
 
-    pts = gen_points()
-    np.asarray(pts[0])
-    log(f"point gen: {time.time()-t0:.1f}s")
+    if os.path.exists(pts_cache):
+        pts = jnp.asarray(np.load(pts_cache))
+        log(f"point gen (cache hit): {time.time()-t0:.1f}s")
+    else:
+        pts = gen_points()
+        np.save(pts_cache, np.asarray(pts))
+        log(f"point gen: {time.time()-t0:.1f}s")
 
     t0 = time.time()
     engine = CachedMSM(curve, pts)
@@ -174,7 +181,9 @@ def main():
             e2e = bench_e2e(int(os.environ.get("HALO2_TPU_BENCH_E2E_K",
                                                "18")))
         except Exception as e:  # keep the headline line printing
+            import traceback
             log(f"e2e bench failed: {type(e).__name__}: {e}")
+            log(traceback.format_exc()[-2000:])
 
     out = {
         "metric": "msm_points_per_sec",

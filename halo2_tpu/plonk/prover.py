@@ -639,29 +639,38 @@ class Prover:
         comp_tab = self._compress(circ, lk_arg.table_expressions, theta_enc,
                                   challenges_enc)
 
-        in_ints = F.decode_ints(comp_in)[:usable]
-        tab_ints = F.decode_ints(comp_tab)[:usable]
+        import os
+        use_host = os.environ.get("HALO2_TPU_HOST_LOOKUP") == "1"
+        if not use_host:
+            # device sort-based permute (plonk/lookup_sort.py), bit-identical
+            # to the host reference logic below
+            from .lookup_sort import permute_expression_pair_device
+            a_dev, s_dev = permute_expression_pair_device(
+                F, comp_in, comp_tab, usable)
+        if use_host or _sanity_on():
+            in_ints = F.decode_ints(comp_in)[:usable]
+            tab_ints = F.decode_ints(comp_tab)[:usable]
 
-        perm_in = sorted(in_ints)
-        leftover: Dict[int, int] = {}
-        for v in tab_ints:
-            leftover[v] = leftover.get(v, 0) + 1
-        perm_tab = [0] * usable
-        repeated_rows = []
-        for row, v in enumerate(perm_in):
-            if row == 0 or v != perm_in[row - 1]:
-                perm_tab[row] = v
-                if leftover.get(v, 0) > 0:
-                    leftover[v] -= 1
+            perm_in = sorted(in_ints)
+            leftover: Dict[int, int] = {}
+            for v in tab_ints:
+                leftover[v] = leftover.get(v, 0) + 1
+            perm_tab = [0] * usable
+            repeated_rows = []
+            for row, v in enumerate(perm_in):
+                if row == 0 or v != perm_in[row - 1]:
+                    perm_tab[row] = v
+                    if leftover.get(v, 0) > 0:
+                        leftover[v] -= 1
+                    else:
+                        raise ValueError(
+                            f"lookup '{lk_arg.name}': input {v} not in table")
                 else:
-                    raise ValueError(
-                        f"lookup '{lk_arg.name}': input {v} not in table")
-            else:
-                repeated_rows.append(row)
-        for v in sorted(leftover):
-            for _ in range(leftover[v]):
-                perm_tab[repeated_rows.pop()] = v
-        assert not repeated_rows
+                    repeated_rows.append(row)
+            for v in sorted(leftover):
+                for _ in range(leftover[v]):
+                    perm_tab[repeated_rows.pop()] = v
+            assert not repeated_rows
 
         if _sanity_on():
             # lookup/prover.rs:475-488: A'[i] == S'[i] or A'[i] == A'[i-1]
@@ -669,12 +678,23 @@ class Prover:
                 assert perm_in[i] == perm_tab[i] or (
                     i > 0 and perm_in[i] == perm_in[i - 1]), \
                     f"permuted-pair invariant broken at row {i}"
+            if not use_host:
+                # device/host cross-check (VERDICT item 6 done-criterion)
+                assert F.decode_ints(a_dev) == perm_in, \
+                    "device permuted input != host"
+                assert F.decode_ints(s_dev) == perm_tab, \
+                    "device permuted table != host"
 
-        perm_in += [rng.randrange(p) for _ in range(bf + 1)]
-        perm_tab += [rng.randrange(p) for _ in range(bf + 1)]
-
-        permuted_input = F.encode_ints(perm_in)
-        permuted_table = F.encode_ints(perm_tab)
+        blind_in = F.encode_ints([rng.randrange(p) for _ in range(bf + 1)])
+        blind_tab = F.encode_ints([rng.randrange(p) for _ in range(bf + 1)])
+        if use_host:
+            permuted_input = jnp.concatenate(
+                [F.encode_ints(perm_in), blind_in], axis=0)
+            permuted_table = jnp.concatenate(
+                [F.encode_ints(perm_tab), blind_tab], axis=0)
+        else:
+            permuted_input = jnp.concatenate([a_dev, blind_in], axis=0)
+            permuted_table = jnp.concatenate([s_dev, blind_tab], axis=0)
 
         in_blind = Blind(rng.randrange(p))
         tab_blind = Blind(rng.randrange(p))

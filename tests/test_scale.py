@@ -39,8 +39,9 @@ def test_e2e_k11_plonk_api_ipa():
 def test_two_circuits_one_transcript():
     K = 6
     c1, i1 = plonk_api_instance(F)
-    a2 = (987654321 * F.zeta) % F.p
-    c2 = PlonkApiCircuit(F.p, a2, [2, a2, a2, 0])
+    # the pk is shared, so circuit 2 must use the SAME fixed lookup table;
+    # its witness differs but stays inside the table (a = 2)
+    c2 = PlonkApiCircuit(F.p, 2, c1.lookup_table)
     i2 = [[2]]
     params = ParamsIPA.new(VESTA, K)
     pk = keygen(F, params, K, c1)

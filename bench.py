@@ -177,6 +177,10 @@ def main():
     # KZG/BN254 + SHPLONK, full 14-step prover) --------------------------
     e2e = None
     if os.environ.get("HALO2_TPU_BENCH_NO_E2E") != "1":
+        # free the micro-bench device state first: the cached window tables
+        # (~2.6 GB) plus roofline arrays otherwise crowd out the k=18
+        # prover's extended-domain working set
+        del engine, pts, scal, outs, out, a0, b0, out_m
         try:
             e2e = bench_e2e(int(os.environ.get("HALO2_TPU_BENCH_E2E_K",
                                                "18")))
@@ -213,6 +217,9 @@ def bench_e2e(k: int) -> dict:
 
     F = BN254_FR
     log(f"[e2e] plonk_api-class circuit, KZG/BN254 + SHPLONK, k={k}")
+    # the monolithic jitted h-pass takes >30 min to compile at k=18 through
+    # the remote-compile tunnel; the eager path reuses small cached kernels
+    os.environ.setdefault("HALO2_TPU_EAGER_H", "1")
     circuit, instances = plonk_api_instance(F)
 
     t0 = time.time()

@@ -281,6 +281,12 @@ class MSMIPA:
         if self.u_scalar is not None:
             scalars.append(self.u_scalar)
             pts.append(self.params.u_aff)
+        # pad the sparse terms to a power-of-two size class so kernel
+        # compiles are reused across proofs (see MSMKZG.eval_affine)
+        if scalars:
+            target = 1 << (len(scalars) - 1).bit_length()
+            scalars = scalars + [0] * (target - len(scalars))
+            pts = pts + [None] * (target - len(pts))
         enc_s = F.encode_ints(scalars) if scalars else F.zeros((0,))
         enc_p = curve.from_affine_ints(pts)
         if self.g_scalars:

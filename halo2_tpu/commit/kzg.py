@@ -47,6 +47,19 @@ class ParamsKZG:
         self.s_secret = s_secret
         self._cached_msm = {}
 
+    def downsize(self, k: int) -> "ParamsKZG":
+        """Truncate to a smaller domain (kzg/commitment.rs:291-299): keep
+        the first 2^k monomial-basis points and recompute the Lagrange form
+        by group iFFT.  Returns a NEW params object (arrays are immutable
+        here, unlike the reference's in-place mutation)."""
+        assert k <= self.k
+        from ..curves.point_ntt import g_to_lagrange
+        n = 1 << k
+        g_aff = self.g_aff[:n]
+        gl = g_to_lagrange(self.curve, self.curve.from_affine_ints(g_aff), k)
+        return ParamsKZG(k, g_aff, self.curve.to_affine_ints(gl),
+                         self.g2, self.s_g2, s_secret=self.s_secret)
+
     # ------------------------------------------------------------------
 
     @staticmethod
@@ -215,6 +228,14 @@ class MSMKZG:
         scs = [s for s, b in zip(self.scalars, self.bases) if b is not None]
         if not pts:
             return None
+        # pad to the next power of two: verifier MSMs vary in length by a
+        # few terms per circuit shape, and each distinct length would
+        # otherwise trigger a fresh kernel compile (minutes through the
+        # remote-compile tunnel); zero scalars/identity points are exact
+        # under the complete formulas
+        target = 1 << (len(pts) - 1).bit_length()
+        scs = scs + [0] * (target - len(scs))
+        pts = pts + [None] * (target - len(pts))
         out = msm(curve, curve.Fr.encode_ints(scs),
                   curve.from_affine_ints(pts))
         return curve.to_affine_ints(out[None])[0]

@@ -93,9 +93,11 @@ class ProverSHPLONK:
             comm_ext = []
             for q in payloads:
                 poly = q.poly_ref.poly
-                evs = [int(ev) for ev in
-                       (eval_polynomial_int(
-                           p, F.decode_ints(poly), pt) for pt in points)]
+                # batched device Horner per point (decoding the whole poly
+                # to host ints cost ~45 s of the k=18 proof)
+                evs = [F.decode_int(eval_polynomial(F, poly,
+                                                    F.encode_int(pt)))
+                       for pt in points]
                 r_coeffs = lagrange_interpolate_int(p, points, evs)
                 comm_ext.append((poly, r_coeffs))
             extended.append((comm_ext, points))

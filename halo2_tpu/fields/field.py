@@ -167,18 +167,32 @@ class Field:
         return (x * self.R_inv) % self.p
 
     def encode_ints(self, xs) -> jnp.ndarray:
-        """Python ints (canonical) -> Montgomery limb array (n, NLIMBS)."""
-        xs = [self.to_mont_int(int(x) % self.p) for x in np.asarray(xs, dtype=object).ravel()]
-        arr = np.stack([_int_to_limbs(x) for x in xs]) if xs else np.zeros((0, NLIMBS), np.uint32)
-        return jnp.asarray(arr)
+        """Python ints (canonical) -> Montgomery limb array (n, NLIMBS).
+        Bulk path: serialize via int.to_bytes (C-speed), reinterpret as
+        16-bit limbs, and run the canonical->Montgomery multiply on device
+        (one batched mul by R^2) instead of per-value python bigint math."""
+        vals = [int(x) % self.p for x in np.asarray(xs, dtype=object).ravel()]
+        if not vals:
+            return jnp.zeros((0, NLIMBS), jnp.uint32)
+        buf = b"".join(v.to_bytes(32, "little") for v in vals)
+        arr = np.frombuffer(buf, dtype="<u2").astype(np.uint32)
+        arr = arr.reshape(len(vals), NLIMBS)
+        return self.to_mont(jnp.asarray(arr))
 
     def encode_int(self, x: int) -> jnp.ndarray:
         return jnp.asarray(_int_to_limbs(self.to_mont_int(int(x) % self.p)))
 
     def decode_ints(self, arr) -> list:
-        """Montgomery limb array (..., NLIMBS) -> list of canonical python ints."""
-        a = np.asarray(jax.device_get(arr), dtype=np.uint32).reshape(-1, NLIMBS)
-        return [self.from_mont_int(_limbs_to_int(row)) for row in a]
+        """Montgomery limb array (..., NLIMBS) -> list of canonical python
+        ints.  Montgomery reduction runs batched on device; the host just
+        reassembles 32-byte little-endian integers."""
+        if arr.size == 0:
+            return []
+        canon = jax.device_get(self.from_mont(arr))
+        a = np.asarray(canon, dtype=np.uint32).reshape(-1, NLIMBS)
+        buf = a.astype("<u2").tobytes()
+        return [int.from_bytes(buf[i * 32:(i + 1) * 32], "little")
+                for i in range(a.shape[0])]
 
     def decode_int(self, arr) -> int:
         return self.decode_ints(arr)[0]

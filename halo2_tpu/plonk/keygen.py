@@ -227,6 +227,17 @@ def keygen(F: Field, params, compiled: CompiledCircuit, k: int,
 
     curve = params.curve
     cs = compiled.cs
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("HALO2_TPU_DEBUG_KEYGEN") == "1"
+    _t = [_time.time()]
+
+    def _kt(name):
+        if _dbg:
+            now = _time.time()
+            print(f"[keygen] {name}: {now - _t[0]:.1f}s", flush=True)
+            _t[0] = now
+
     cs_back = ConstraintSystemBack(cs, F.p)
     n = 1 << k
     degree = max(cs_back.degree(), 2)
@@ -248,14 +259,17 @@ def keygen(F: Field, params, compiled: CompiledCircuit, k: int,
     fixed_cosets = domain.coeff_to_extended(fixed_polys) if nf else \
         F.zeros((0, domain.extended_n))
 
+    _kt('fixed encode+ffts')
     fixed_commitments = [
         params.commit_affine_lagrange(fixed_values[i], Blind(1))
         for i in range(nf)]
 
+    _kt('fixed commits')
     # permutation
     assembly = PermutationAssembly(n, cs.permutation.columns)
     for (lc, lr), (rc, rr) in compiled.preprocessing.copies:
         assembly.copy(lc, lr, rc, rr)
+    _kt('perm cycle merge')
     sigma_ints = assembly.sigma_values(F, domain)
     m = len(cs.permutation.columns)
     if m:
@@ -271,6 +285,7 @@ def keygen(F: Field, params, compiled: CompiledCircuit, k: int,
         sigma_cosets = F.zeros((0, domain.extended_n))
         perm_commitments = []
 
+    _kt('sigma values+ffts+commits')
     vk = VerifyingKey(F, curve, domain, cs_back, fixed_commitments,
                       PermutationVK(perm_commitments), k)
 
@@ -291,6 +306,7 @@ def keygen(F: Field, params, compiled: CompiledCircuit, k: int,
     one = F.ones((domain.extended_n,))
     l_active_row = F.sub(F.sub(one, l_last), l_blind)
 
+    _kt('vk hash + lagrange basis')
     evaluator = Evaluator(F, domain, cs_back)
 
     return ProvingKey(vk, l0, l_last, l_active_row, fixed_values,

@@ -89,7 +89,9 @@ class Evaluator:
         # same circuit count must never reuse this pk's compiled fn
         key = (id(pk), n_circ)
         if key not in self._compiled:
-            if self.domain._mesh is not None:
+            import os
+            if self.domain._mesh is not None or \
+                    os.environ.get("HALO2_TPU_EAGER_H") == "1":
                 # Meshed path: run eagerly so each sub-op (the per-column
                 # shard_map NTTs especially) compiles ONCE and is reused;
                 # tracing the whole pass as one program with SPMD
@@ -442,15 +444,17 @@ class Prover:
         self._tick('vanishing_random [T12]')
         # [TRANSCRIPT-13] y; evaluate h
         y = t.squeeze_challenge()
-        h_ext = pk.ev.evaluate_h(
-            pk, advice_polys, self.instance_polys, challenges_enc,
-            F.encode_int(y), F.encode_int(beta), F.encode_int(gamma),
-            F.encode_int(theta),
-            [[(lk["product_poly"], lk["permuted_input_poly"],
-               lk["permuted_table_poly"]) for lk in lkc]
-             for lkc in lookups_committed],
-            [[sh["product_poly"] for sh in shc] for shc in shuffles_committed],
-            [[s["poly"] for s in pz] for pz in permutations_z])
+        with jax.profiler.TraceAnnotation("halo2[evaluate_h T13]"):
+            h_ext = pk.ev.evaluate_h(
+                pk, advice_polys, self.instance_polys, challenges_enc,
+                F.encode_int(y), F.encode_int(beta), F.encode_int(gamma),
+                F.encode_int(theta),
+                [[(lk["product_poly"], lk["permuted_input_poly"],
+                   lk["permuted_table_poly"]) for lk in lkc]
+                 for lkc in lookups_committed],
+                [[sh["product_poly"] for sh in shc]
+                 for shc in shuffles_committed],
+                [[s["poly"] for s in pz] for pz in permutations_z])
 
         self._tick('evaluate_h [T13]')
         # [TRANSCRIPT-14] h pieces

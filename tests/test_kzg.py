@@ -165,3 +165,11 @@ def test_e2e_kzg_shplonk(e2e):
     assert not verify(params, pk.vk, bytes(bad), [[[c]]],
                       multiopen_verifier_cls=VerifierSHPLONK,
                       strategy_cls=SingleStrategyKZG)
+
+
+def test_params_downsize(params):
+    """downsize truncates g and recomputes g_lagrange (commitment.rs:291)."""
+    small = params.downsize(K - 1)
+    fresh = ParamsKZG.setup(K - 1, s=params.s_secret)
+    assert small.g_aff == fresh.g_aff
+    assert small.g_lagrange_aff == fresh.g_lagrange_aff

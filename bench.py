@@ -217,9 +217,6 @@ def bench_e2e(k: int) -> dict:
 
     F = BN254_FR
     log(f"[e2e] plonk_api-class circuit, KZG/BN254 + SHPLONK, k={k}")
-    # the monolithic jitted h-pass takes >30 min to compile at k=18 through
-    # the remote-compile tunnel; the eager path reuses small cached kernels
-    os.environ.setdefault("HALO2_TPU_EAGER_H", "1")
     circuit, instances = plonk_api_instance(F)
 
     t0 = time.time()

@@ -209,7 +209,12 @@ class FusedNTT:
         x = self._ntt_mid(x, l2, inv)                     # over i2
         return x.reshape(NLIMBS, n2 * n1, B)              # k2*n1 + k1 = k
 
+    @functools.partial(jax.jit, static_argnums=(0, 2))
     def _transform(self, a, inv: bool):
+        # jitted end-to-end (per input shape): the mid twiddles, transposes
+        # and base kernels fuse into one executable — the eager version paid
+        # ~30 dispatch round-trips per transform, which dominated wall time
+        # through the remote-TPU tunnel
         F, n = self.F, self.n
         assert a.shape[-2] == n
         batch = a.shape[:-2]
@@ -220,11 +225,12 @@ class FusedNTT:
         x = jnp.transpose(x, (2, 1, 0))                    # (L, n, B)
         x = self._ntt_mid(x, self.log_n, inv)
         x = jnp.transpose(x, (2, 1, 0)).reshape(batch + (n, NLIMBS))
+        if inv:
+            x = F.mul(x, self.n_inv)
         return x
 
     def forward(self, a):
         return self._transform(a, False)
 
     def inverse(self, a):
-        out = self._transform(a, True)
-        return self.F.mul(out, self.n_inv)
+        return self._transform(a, True)

@@ -15,7 +15,6 @@ steps :512-899) with the lookup (lookup/prover.rs), permutation
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -62,7 +61,25 @@ def _enc_list(F: Field, xs: List[int]):
 
 
 class Evaluator:
-    """Builds and caches the jitted h-evaluation (plonk/evaluation.rs:317-623)."""
+    """Builds and caches the jitted h-evaluation (plonk/evaluation.rs:317-623).
+
+    Structure (TPU-first rework of the reference's single fused row loop):
+
+    - every coeff->extended coset transform runs as ONE batched NTT per
+      argument (all advice columns stacked, all permutation z's stacked,
+      each lookup's (z, a', s') stacked) — large batched transforms keep
+      the MXU busy and the dispatch count low;
+    - the elementwise constraint accumulation is split into four jitted
+      passes (gates / permutation / per-lookup / per-shuffle).  Each pass
+      is NTT-free so it traces and compiles in seconds even at k>=18 (the
+      old monolithic jit inlined ~15 four-step NTT graphs and took >30 min
+      to compile through the remote-compile tunnel);
+    - lookup/shuffle cosets are *streamed*: computed immediately before
+      their accumulator call and dead immediately after, mirroring the
+      reference's per-lookup coset streaming (evaluation.rs:486-558) —
+      peak HBM is the column cosets + one argument's cosets, not the sum
+      over all lookups.
+    """
 
     def __init__(self, F: Field, domain, cs_back):
         self.F = F
@@ -72,6 +89,27 @@ class Evaluator:
         # X values over the extended coset domain: zeta * ext_omega^i
         pts = powers(F, F.encode_int(domain.extended_omega), domain.extended_n)
         self.ext_points = F.mul(pts, F.encode_int(domain.g_coset))
+
+    # -- jitted accumulator cache ----------------------------------------
+
+    def _acc(self, key, builder):
+        """Cache of per-stage accumulators.  The key carries the stage and
+        argument index; expression structure is static per cs_back (one
+        Evaluator per pk), so compiled fns are reused across circuits and
+        proofs."""
+        if key not in self._compiled:
+            import os
+            fn = builder()
+            if os.environ.get("HALO2_TPU_EAGER_H") == "1" or \
+                    self.domain._mesh is not None:
+                # eager escape hatch (debugging) / meshed path: the sub-ops
+                # (shard_map NTTs, elementwise field kernels) each compile
+                # once and are reused; jitting whole passes with SPMD
+                # partitioning is slow to compile on virtual meshes.
+                self._compiled[key] = fn
+            else:
+                self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
 
     def evaluate_h(self, pk: "ProvingKey", advice_polys, instance_polys,
                    challenges, y, beta, gamma, theta, lookups, shuffles,
@@ -83,163 +121,175 @@ class Evaluator:
         permutations[c] = [z_poly per set]
         Returns extended-domain evaluations of the numerator of h.
         """
-        F = self.F
-        n_circ = len(advice_polys)
-        # cache key carries the pk identity explicitly: a second pk with the
-        # same circuit count must never reuse this pk's compiled fn
-        key = (id(pk), n_circ)
-        if key not in self._compiled:
-            import os
-            if self.domain._mesh is not None or \
-                    os.environ.get("HALO2_TPU_EAGER_H") == "1":
-                # Meshed path: run eagerly so each sub-op (the per-column
-                # shard_map NTTs especially) compiles ONCE and is reused;
-                # tracing the whole pass as one program with SPMD
-                # partitioning explodes compile time on virtual meshes.
-                self._compiled[key] = functools.partial(self._h_fn, pk)
-            else:
-                self._compiled[key] = jax.jit(
-                    functools.partial(self._h_fn, pk))
-        args = {
-            "advice": advice_polys, "instance": instance_polys,
-            "challenges": challenges,
-            "y": y, "beta": beta, "gamma": gamma, "theta": theta,
-            "lookups": lookups, "shuffles": shuffles,
-            "perms": permutations,
-        }
-        return self._compiled[key](args)
-
-    def _h_fn(self, pk, args):
         F, domain, cs = self.F, self.domain, self.cs_back
         ext_n = domain.extended_n
-        one = F.ones(())
-        y = args["y"]
-        beta, gamma, theta = args["beta"], args["gamma"], args["theta"]
+        pid = id(pk)
         value = F.zeros((ext_n,))
-        rot_scale = 1 << (domain.extended_k - domain.k)
-        bf = cs.blinding_factors()
-        last_rot = -(bf + 1)
 
-        l0, l_last, l_active = pk.l0, pk.l_last, pk.l_active_row
-
-        for c in range(len(args["advice"])):
-            advice_c = domain.coeff_to_extended(args["advice"][c]) \
-                if args["advice"][c].shape[0] else args["advice"][c]
-            instance_c = domain.coeff_to_extended(args["instance"][c]) \
-                if args["instance"][c].shape[0] else args["instance"][c]
-            challenges = {i: ch for i, ch in enumerate(args["challenges"])}
-
-            def ev(expr):
-                return evaluate_expression(
-                    F, expr, fixed=pk.fixed_cosets, advice=advice_c,
-                    instance=instance_c, challenges=challenges,
-                    rot_scale=rot_scale)
+        for c in range(len(advice_polys)):
+            advice_c = domain.coeff_to_extended(advice_polys[c]) \
+                if advice_polys[c].shape[0] else F.zeros((0, ext_n))
+            instance_c = domain.coeff_to_extended(instance_polys[c]) \
+                if instance_polys[c].shape[0] else F.zeros((0, ext_n))
+            cols = (pk.fixed_cosets, advice_c, instance_c)
 
             # ---- custom gates (evaluation.rs:375-401)
-            for gate in cs.cs.gates:
-                for poly in gate.polys:
-                    value = F.add(F.mul(value, y), ev(poly))
+            value = self._acc((pid, "gates"), self._build_gates)(
+                value, y, challenges, *cols)
 
             # ---- permutation argument (evaluation.rs:404-483)
-            sets = args["perms"][c]
+            sets = permutations[c]
             if sets:
-                chunk_len = cs.degree() - 2
-                first_z = domain.coeff_to_extended(sets[0])
-                last_z = domain.coeff_to_extended(sets[-1])
-                exts = [domain.coeff_to_extended(z) for z in sets]
-                # l_0(X) * (1 - z_0(X))
-                value = F.add(F.mul(value, y),
-                              F.mul(l0, F.sub(one, first_z)))
-                # l_last(X) * (z_l(X)^2 - z_l(X))
-                value = F.add(F.mul(value, y),
-                              F.mul(l_last, F.sub(F.square(last_z), last_z)))
-                # l_0(X) * (z_i(X) - z_{i-1}(omega^last X))
-                for i in range(1, len(exts)):
-                    prev_rot = domain.rotate_extended(
-                        exts[i - 1], DomRotation(last_rot))
-                    value = F.add(F.mul(value, y),
-                                  F.mul(l0, F.sub(exts[i], prev_rot)))
-                # product constraints per chunk
-                columns = cs.cs.permutation.columns
-                kind_map = {ADVICE: advice_c, FIXED: pk.fixed_cosets,
-                            INSTANCE: instance_c}
-                for ci, z_ext in enumerate(exts):
-                    chunk = columns[ci * chunk_len:(ci + 1) * chunk_len]
-                    left = domain.rotate_extended(z_ext, DomRotation(1))
-                    right = z_ext
-                    delta_pow = pow(F.delta, ci * chunk_len, F.p)
-                    cur_delta = F.mul(F.mul(beta, self.ext_points),
-                                      F.encode_int(delta_pow))
-                    for j, col in enumerate(chunk):
-                        vals = kind_map[col.kind][col.index]
-                        sigma = pk.permutation.cosets[ci * chunk_len + j]
-                        left = F.mul(left, F.add(F.add(
-                            vals, F.mul(beta, sigma)), gamma))
-                        right = F.mul(right, F.add(F.add(
-                            vals, cur_delta), gamma))
-                        cur_delta = F.mul(cur_delta, F.encode_int(F.delta))
-                    value = F.add(F.mul(value, y),
-                                  F.mul(F.sub(left, right), l_active))
+                exts = domain.coeff_to_extended(jnp.stack(sets))
+                value = self._acc((pid, "perm", len(sets)),
+                                  lambda: self._build_perm(len(sets)))(
+                    value, y, beta, gamma, exts, pk.l0, pk.l_last,
+                    pk.l_active_row, pk.permutation.cosets, *cols)
 
-            # ---- lookups (evaluation.rs:486-558)
-            for lk_arg, (z_poly, a_poly, s_poly) in zip(
-                    cs.cs.lookups, args["lookups"][c]):
+            # ---- lookups, cosets streamed per argument (:486-558)
+            for li, (z_poly, a_poly, s_poly) in enumerate(lookups[c]):
+                zas = domain.coeff_to_extended(
+                    jnp.stack([z_poly, a_poly, s_poly]))
+                value = self._acc((pid, "lookup", li),
+                                  lambda: self._build_lookup(cs.cs.lookups[li]))(
+                    value, y, beta, gamma, theta, challenges, zas,
+                    pk.l0, pk.l_last, pk.l_active_row, *cols)
+
+            # ---- shuffles, streamed (:561-620)
+            for si, z_poly in enumerate(shuffles[c]):
                 z_ext = domain.coeff_to_extended(z_poly)
-                a_ext = domain.coeff_to_extended(a_poly)
-                s_ext = domain.coeff_to_extended(s_poly)
-                z_next = domain.rotate_extended(z_ext, DomRotation(1))
-                a_prev = domain.rotate_extended(a_ext, DomRotation(-1))
-
-                def compress(exprs):
-                    acc = F.zeros((ext_n,))
-                    for e in exprs:
-                        acc = F.add(F.mul(acc, theta), ev(e))
-                    return acc
-
-                comp_in = compress(lk_arg.input_expressions)
-                comp_tab = compress(lk_arg.table_expressions)
-                # l_0 * (1 - z)
-                value = F.add(F.mul(value, y), F.mul(l0, F.sub(one, z_ext)))
-                # l_last * (z^2 - z)
-                value = F.add(F.mul(value, y),
-                              F.mul(l_last, F.sub(F.square(z_ext), z_ext)))
-                # active * (z(wX)(a'+b)(s'+g) - z(X)(A+b)(S+g))
-                left = F.mul(F.mul(z_next, F.add(a_ext, beta)),
-                             F.add(s_ext, gamma))
-                right = F.mul(F.mul(z_ext, F.add(comp_in, beta)),
-                              F.add(comp_tab, gamma))
-                value = F.add(F.mul(value, y),
-                              F.mul(F.sub(left, right), l_active))
-                # l_0 * (a' - s')
-                value = F.add(F.mul(value, y),
-                              F.mul(l0, F.sub(a_ext, s_ext)))
-                # active * (a' - s') * (a' - a'(w^-1 X))
-                value = F.add(F.mul(value, y),
-                              F.mul(F.mul(F.sub(a_ext, s_ext),
-                                          F.sub(a_ext, a_prev)), l_active))
-
-            # ---- shuffles (evaluation.rs:561-620)
-            for sh_arg, z_poly in zip(cs.cs.shuffles, args["shuffles"][c]):
-                z_ext = domain.coeff_to_extended(z_poly)
-                z_next = domain.rotate_extended(z_ext, DomRotation(1))
-
-                def compress(exprs):
-                    acc = F.zeros((ext_n,))
-                    for e in exprs:
-                        acc = F.add(F.mul(acc, theta), ev(e))
-                    return acc
-
-                comp_in = compress(sh_arg.input_expressions)
-                comp_sh = compress(sh_arg.shuffle_expressions)
-                value = F.add(F.mul(value, y), F.mul(l0, F.sub(one, z_ext)))
-                value = F.add(F.mul(value, y),
-                              F.mul(l_last, F.sub(F.square(z_ext), z_ext)))
-                left = F.mul(z_next, F.add(comp_sh, gamma))
-                right = F.mul(z_ext, F.add(comp_in, gamma))
-                value = F.add(F.mul(value, y),
-                              F.mul(F.sub(left, right), l_active))
+                value = self._acc((pid, "shuffle", si),
+                                  lambda: self._build_shuffle(cs.cs.shuffles[si]))(
+                    value, y, theta, gamma, challenges, z_ext,
+                    pk.l0, pk.l_last, pk.l_active_row, *cols)
 
         return value
+
+    # -- accumulator builders (elementwise-only; expressions are static) --
+
+    def _ev(self, expr, fixed, advice, instance, challenges):
+        rot_scale = 1 << (self.domain.extended_k - self.domain.k)
+        return evaluate_expression(
+            self.F, expr, fixed=fixed, advice=advice, instance=instance,
+            challenges={i: ch for i, ch in enumerate(challenges)},
+            rot_scale=rot_scale)
+
+    def _build_gates(self):
+        F, cs = self.F, self.cs_back
+
+        def acc(value, y, challenges, fixed, advice, instance):
+            for gate in cs.cs.gates:
+                for poly in gate.polys:
+                    value = F.add(F.mul(value, y), self._ev(
+                        poly, fixed, advice, instance, challenges))
+            return value
+        return acc
+
+    def _build_perm(self, n_sets):
+        F, domain, cs = self.F, self.domain, self.cs_back
+        one = F.ones(())
+        last_rot = -(cs.blinding_factors() + 1)
+        chunk_len = cs.degree() - 2
+        columns = cs.cs.permutation.columns
+
+        def acc(value, y, beta, gamma, exts, l0, l_last, l_active,
+                sigma_cosets, fixed, advice, instance):
+            kind_map = {ADVICE: advice, FIXED: fixed, INSTANCE: instance}
+            # l_0(X) * (1 - z_0(X))
+            value = F.add(F.mul(value, y), F.mul(l0, F.sub(one, exts[0])))
+            # l_last(X) * (z_l(X)^2 - z_l(X))
+            value = F.add(F.mul(value, y), F.mul(
+                l_last, F.sub(F.square(exts[-1]), exts[-1])))
+            # l_0(X) * (z_i(X) - z_{i-1}(omega^last X))
+            for i in range(1, n_sets):
+                prev_rot = domain.rotate_extended(
+                    exts[i - 1], DomRotation(last_rot))
+                value = F.add(F.mul(value, y),
+                              F.mul(l0, F.sub(exts[i], prev_rot)))
+            # product constraints per chunk
+            for ci in range(n_sets):
+                z_ext = exts[ci]
+                chunk = columns[ci * chunk_len:(ci + 1) * chunk_len]
+                left = domain.rotate_extended(z_ext, DomRotation(1))
+                right = z_ext
+                delta_pow = pow(F.delta, ci * chunk_len, F.p)
+                cur_delta = F.mul(F.mul(beta, self.ext_points),
+                                  F.encode_int(delta_pow))
+                for j, col in enumerate(chunk):
+                    vals = kind_map[col.kind][col.index]
+                    sigma = sigma_cosets[ci * chunk_len + j]
+                    left = F.mul(left, F.add(F.add(
+                        vals, F.mul(beta, sigma)), gamma))
+                    right = F.mul(right, F.add(F.add(
+                        vals, cur_delta), gamma))
+                    cur_delta = F.mul(cur_delta, F.encode_int(F.delta))
+                value = F.add(F.mul(value, y),
+                              F.mul(F.sub(left, right), l_active))
+            return value
+        return acc
+
+    def _compress(self, exprs, theta, fixed, advice, instance, challenges):
+        F = self.F
+        acc = F.zeros((self.domain.extended_n,))
+        for e in exprs:
+            acc = F.add(F.mul(acc, theta),
+                        self._ev(e, fixed, advice, instance, challenges))
+        return acc
+
+    def _build_lookup(self, lk_arg):
+        F, domain = self.F, self.domain
+        one = F.ones(())
+
+        def acc(value, y, beta, gamma, theta, challenges, zas,
+                l0, l_last, l_active, fixed, advice, instance):
+            z_ext, a_ext, s_ext = zas[0], zas[1], zas[2]
+            z_next = domain.rotate_extended(z_ext, DomRotation(1))
+            a_prev = domain.rotate_extended(a_ext, DomRotation(-1))
+            comp_in = self._compress(lk_arg.input_expressions, theta,
+                                     fixed, advice, instance, challenges)
+            comp_tab = self._compress(lk_arg.table_expressions, theta,
+                                      fixed, advice, instance, challenges)
+            # l_0 * (1 - z)
+            value = F.add(F.mul(value, y), F.mul(l0, F.sub(one, z_ext)))
+            # l_last * (z^2 - z)
+            value = F.add(F.mul(value, y),
+                          F.mul(l_last, F.sub(F.square(z_ext), z_ext)))
+            # active * (z(wX)(a'+b)(s'+g) - z(X)(A+b)(S+g))
+            left = F.mul(F.mul(z_next, F.add(a_ext, beta)),
+                         F.add(s_ext, gamma))
+            right = F.mul(F.mul(z_ext, F.add(comp_in, beta)),
+                          F.add(comp_tab, gamma))
+            value = F.add(F.mul(value, y),
+                          F.mul(F.sub(left, right), l_active))
+            # l_0 * (a' - s')
+            value = F.add(F.mul(value, y), F.mul(l0, F.sub(a_ext, s_ext)))
+            # active * (a' - s') * (a' - a'(w^-1 X))
+            value = F.add(F.mul(value, y),
+                          F.mul(F.mul(F.sub(a_ext, s_ext),
+                                      F.sub(a_ext, a_prev)), l_active))
+            return value
+        return acc
+
+    def _build_shuffle(self, sh_arg):
+        F, domain = self.F, self.domain
+        one = F.ones(())
+
+        def acc(value, y, theta, gamma, challenges, z_ext,
+                l0, l_last, l_active, fixed, advice, instance):
+            z_next = domain.rotate_extended(z_ext, DomRotation(1))
+            comp_in = self._compress(sh_arg.input_expressions, theta,
+                                     fixed, advice, instance, challenges)
+            comp_sh = self._compress(sh_arg.shuffle_expressions, theta,
+                                     fixed, advice, instance, challenges)
+            value = F.add(F.mul(value, y), F.mul(l0, F.sub(one, z_ext)))
+            value = F.add(F.mul(value, y),
+                          F.mul(l_last, F.sub(F.square(z_ext), z_ext)))
+            left = F.mul(z_next, F.add(comp_sh, gamma))
+            right = F.mul(z_ext, F.add(comp_in, gamma))
+            value = F.add(F.mul(value, y),
+                          F.mul(F.sub(left, right), l_active))
+            return value
+        return acc
 
 
 class Prover:
@@ -373,6 +423,12 @@ class Prover:
                 now - self._t_last)
         self._t_last = now
 
+    def _scope(self, name: str):
+        """jax.profiler named scope per [TRANSCRIPT-N] step (SURVEY §5.1):
+        device ops dispatched inside show up under halo2[...] in a
+        `jax.profiler.trace` capture."""
+        return jax.profiler.TraceAnnotation(f"halo2[{name}]")
+
     def create_proof(self):
         import time
         F = self.F
@@ -398,10 +454,11 @@ class Prover:
 
         # [TRANSCRIPT-6] lookup permuted commitments
         permuted_lookups = []
-        for c in range(n_circ):
-            permuted_lookups.append([
-                self._lookup_commit_permuted(c, lk, theta, challenges_enc)
-                for lk in cs.lookups])
+        with self._scope("lookup_permute T5-6"):
+            for c in range(n_circ):
+                permuted_lookups.append([
+                    self._lookup_commit_permuted(c, lk, theta, challenges_enc)
+                    for lk in cs.lookups])
 
         self._tick('lookup_permute [T5-6]')
         # [TRANSCRIPT-7/8] beta, gamma
@@ -409,23 +466,26 @@ class Prover:
         gamma = t.squeeze_challenge()
 
         # [TRANSCRIPT-9] permutation grand products
-        permutations_z = [self._permutation_commit(c, beta, gamma)
-                          for c in range(n_circ)]
+        with self._scope("permutation_commit T9"):
+            permutations_z = [self._permutation_commit(c, beta, gamma)
+                              for c in range(n_circ)]
 
         # [TRANSCRIPT-10] lookup products
         lookups_committed = []
-        for c in range(n_circ):
-            lookups_committed.append([
-                self._lookup_commit_product(pl, beta, gamma)
-                for pl in permuted_lookups[c]])
+        with self._scope("lookup_product T10"):
+            for c in range(n_circ):
+                lookups_committed.append([
+                    self._lookup_commit_product(pl, beta, gamma)
+                    for pl in permuted_lookups[c]])
 
         # [TRANSCRIPT-11] shuffle products
         shuffles_committed = []
-        for c in range(n_circ):
-            shuffles_committed.append([
-                self._shuffle_commit_product(c, sh, theta, gamma,
-                                             challenges_enc)
-                for sh in cs.shuffles])
+        with self._scope("shuffle_product T11"):
+            for c in range(n_circ):
+                shuffles_committed.append([
+                    self._shuffle_commit_product(c, sh, theta, gamma,
+                                                 challenges_enc)
+                    for sh in cs.shuffles])
 
         self._tick('grand_products [T9-11]')
         # [TRANSCRIPT-12] vanishing random poly — generated device-side from
@@ -433,18 +493,19 @@ class Prover:
         # per-chunk ChaCha20 seeding, vanishing/prover.rs:55-85 /
         # benches/commit_zk.rs): draw 384 uniform bits per coefficient as
         # numpy uint16 limbs and reduce mod p on device as hi*2^192 + lo.
-        random_poly = _random_poly_device(F, n, rng)
-        random_blind = Blind(rng.randrange(p))
-        t.write_point(params.commit_affine(random_poly, random_blind))
+        with self._scope("vanishing_random T12"):
+            random_poly = _random_poly_device(F, n, rng)
+            random_blind = Blind(rng.randrange(p))
+            t.write_point(params.commit_affine(random_poly, random_blind))
 
-        # advice -> coeff form
-        advice_polys = [domain.lagrange_to_coeff(a) if a.shape[0] else a
-                        for a in self.advice_values]
+            # advice -> coeff form
+            advice_polys = [domain.lagrange_to_coeff(a) if a.shape[0] else a
+                            for a in self.advice_values]
 
         self._tick('vanishing_random [T12]')
         # [TRANSCRIPT-13] y; evaluate h
         y = t.squeeze_challenge()
-        with jax.profiler.TraceAnnotation("halo2[evaluate_h T13]"):
+        with self._scope("evaluate_h T13"):
             h_ext = pk.ev.evaluate_h(
                 pk, advice_polys, self.instance_polys, challenges_enc,
                 F.encode_int(y), F.encode_int(beta), F.encode_int(gamma),
@@ -458,13 +519,14 @@ class Prover:
 
         self._tick('evaluate_h [T13]')
         # [TRANSCRIPT-14] h pieces
-        h_ext = domain.divide_by_vanishing_poly(h_ext)
-        h_coeff = domain.extended_to_coeff(h_ext)
-        n_pieces = domain.quotient_poly_degree
-        h_pieces = [h_coeff[i * n:(i + 1) * n] for i in range(n_pieces)]
-        h_blinds = [Blind(rng.randrange(p)) for _ in range(n_pieces)]
-        for piece, blind in zip(h_pieces, h_blinds):
-            t.write_point(params.commit_affine(piece, blind))
+        with self._scope("h_pieces T14"):
+            h_ext = domain.divide_by_vanishing_poly(h_ext)
+            h_coeff = domain.extended_to_coeff(h_ext)
+            n_pieces = domain.quotient_poly_degree
+            h_pieces = [h_coeff[i * n:(i + 1) * n] for i in range(n_pieces)]
+            h_blinds = [Blind(rng.randrange(p)) for _ in range(n_pieces)]
+            for piece, blind in zip(h_pieces, h_blinds):
+                t.write_point(params.commit_affine(piece, blind))
 
         self._tick('h_pieces [T14]')
         # [TRANSCRIPT-15] x

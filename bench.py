@@ -1,45 +1,81 @@
 """Headline benchmark: fixed-base MSM throughput (the prover's dominant
-kernel, run via the cached window-base engine exactly as commitments do).
+kernel, run via the cached window-base engine exactly as commitments do),
+plus an honest per-chip roofline and the end-to-end prover.
 
 Prints ONE JSON line:
   {"metric": "msm_points_per_sec", "value": N, "unit": "points/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "roofline": {...}, "e2e": {...}}
 
 vs_baseline compares against 1e6 points/s — the ballpark of the reference's
 rayon `best_multiexp` (halo2curves Pippenger) for 2^16 BN254 points on a
 multicore x86 host (the repo publishes no absolute numbers; see BASELINE.md).
-Secondary timings (NTT) go to stderr.  Timings force a host fetch of the
-result (async dispatch through the remote-TPU tunnel otherwise returns
-immediately).
+
+Structure: each stage (e2e prover, micro/roofline) runs in its OWN
+subprocess so device HBM is fully released between stages — the round-2
+driver run OOM'd because the micro-bench window tables (~2.6 GB) were still
+resident when the k=18 prover's extended-domain working set arrived.
+
+Timing methodology (round-2 postmortem): the remote-TPU tunnel has a
+~30 ms fetch round-trip, so every measured section must satisfy
+elapsed >> rtt BEFORE subtracting rtt; sections that can finish faster are
+chained on-device inside a `lax.fori_loop` until they take >= 0.5 s.  Every
+roofline fraction is asserted to land in (0, 1.2) before it is written.
+Roofline budget derivations: docs/msm.md, docs/ntt.md.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/halo2_tpu/xla"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-
-import jax.numpy as jnp
-import numpy as np
-
 BASELINE_POINTS_PER_SEC = 1e6
+RESULT_MARK = "##BENCH_RESULT## "
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def main():
+def _setup_jax():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/halo2_tpu/xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    return jax
+
+
+def _fetch(x):
+    """Force completion with a host fetch (the tunnel treats
+    block_until_ready as a no-op; a tiny slice fetch is the honest sync)."""
+    import numpy as np
+    return np.asarray(x)
+
+
+def measure_rtt():
+    import jax.numpy as jnp
+    x = jnp.zeros((4,), jnp.uint32) + 1
+    _fetch(x)
+    t0 = time.time()
+    for _ in range(4):
+        _fetch(x)
+    return (time.time() - t0) / 4
+
+
+# ----------------------------------------------------------------------
+# stage: micro (MSM + NTT + roofline)
+# ----------------------------------------------------------------------
+
+def stage_micro():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
     from halo2_tpu.curves import BN254_G1 as curve
-    from halo2_tpu.fields import BN254_FR
-    from halo2_tpu.msm.msm import CachedMSM
+    from halo2_tpu.msm.msm import CachedMSM, auto_c
+    from halo2_tpu.msm.bucket_scan import n_windows_for
     from halo2_tpu.ntt import get_ntt
 
     log("devices:", jax.devices())
@@ -79,76 +115,108 @@ def main():
         np.save(pts_cache, np.asarray(pts))
         log(f"point gen: {time.time()-t0:.1f}s")
 
-    t0 = time.time()
-    engine = CachedMSM(curve, pts)
-    jax.block_until_ready(engine.wbases)
-    log(f"window-base precompute: {time.time()-t0:.1f}s")
-
-    runs = 5
-    # distinct scalars per run: the remote-TPU tunnel dedupes dispatches of
-    # identical (executable, args) pairs, so repeating one input measures
-    # only round-trip latency
-    scal = []
-    for i in range(runs + 1):
-        limbs = jax.random.randint(jax.random.PRNGKey(i), (n, 16), 0,
-                                   1 << 16, dtype=jnp.int32)
-        scal.append(F.to_mont(limbs.astype(jnp.uint32)))
-    np.asarray(scal[-1][0])
-    t0 = time.time()
-    np.asarray(scal[0][0])
-    rtt = time.time() - t0
+    rtt = measure_rtt()
     log(f"tunnel fetch rtt: {rtt*1e3:.1f} ms")
 
     t0 = time.time()
+    engine = CachedMSM(curve, pts)
+    _fetch(engine.wbases[:1, :1])
+    log(f"window-base precompute: {time.time()-t0:.1f}s")
+
+    # distinct scalars per run: the tunnel dedupes dispatches of identical
+    # (executable, args) pairs, so repeating one input measures only rtt
+    def rand_scalars(seed):
+        limbs = jax.random.randint(jax.random.PRNGKey(seed), (n, 16), 0,
+                                   1 << 16, dtype=jnp.int32)
+        return F.to_mont(limbs.astype(jnp.uint32))
+
+    runs = 5
+    scal = [rand_scalars(i) for i in range(runs + 1)]
+    _fetch(scal[-1][0])
+
+    t0 = time.time()
     out = engine(scal[runs])
-    np.asarray(out)
+    _fetch(out)
     log(f"msm compile+first: {time.time()-t0:.1f}s")
 
-    t0 = time.time()
-    outs = [engine(s) for s in scal[:runs]]
-    np.asarray(outs[-1][0])
-    msm_time = max(time.time() - t0 - rtt, 1e-9) / runs
+    while True:
+        t0 = time.time()
+        outs = [engine(s) for s in scal[:runs]]
+        _fetch(outs[-1][0])
+        elapsed = time.time() - t0
+        if elapsed > max(0.5, 10 * rtt):
+            break
+        runs *= 4                      # too fast to time honestly: widen
+        scal = [rand_scalars(i) for i in range(runs)]
+        _fetch(scal[-1][0])
+    msm_time = (elapsed - rtt) / runs
     pps = n / msm_time
-    log(f"msm: {msm_time*1e3:.1f} ms for 2^{k} points -> {pps:,.0f} points/s")
+    log(f"msm: {msm_time*1e3:.1f} ms for 2^{k} points -> {pps:,.0f} points/s"
+        f" ({runs} runs, elapsed {elapsed:.2f}s)")
 
-    # ---- NTT secondary metric (chained outputs are distinct inputs, so
-    # the dedupe concern above does not apply — but force completion with
-    # a fetch, not block_until_ready, which the tunnel treats as a no-op)
+    # ---- NTT secondary metric: chain transforms on-device so one dispatch
+    # covers >= ~0.5 s of device time (a single 2^18 NTT is ~ms-scale, far
+    # below the tunnel rtt)
     ntt_k = 18
     ntt = get_ntt(F, ntt_k)
-    a = F.ones((1 << ntt_k,))
+    a = rand_scalars(99)[: 1 << ntt_k]
+
+    ntt_reps = 32
+
+    def chain(reps):
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(0, reps, lambda i, v: ntt.forward(v), x)
+        return run
+
+    fn = chain(ntt_reps)
     t0 = time.time()
-    out = ntt.forward(a)
-    np.asarray(out[0])
+    _fetch(fn(a)[0])
     log(f"ntt compile+first: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    for _ in range(runs):
-        out = ntt.forward(out)
-    np.asarray(out[0])
-    ntt_time = max(time.time() - t0 - rtt, 1e-9) / runs
-    log(f"ntt 2^{ntt_k}: {ntt_time*1e3:.1f} ms -> "
-        f"{(1 << ntt_k) / ntt_time:,.0f} elems/s")
+    while True:
+        t0 = time.time()
+        _fetch(fn(a)[0])
+        elapsed = time.time() - t0
+        if elapsed > max(0.5, 10 * rtt):
+            break
+        ntt_reps *= 4
+        fn = chain(ntt_reps)
+        _fetch(fn(a)[0])    # compile outside the timed section
+        log(f"ntt: widening to {ntt_reps} chained reps")
+    ntt_time = (elapsed - rtt) / ntt_reps
+    ntt_rate = (1 << ntt_k) / ntt_time
+    log(f"ntt 2^{ntt_k}: {ntt_time*1e3:.2f} ms -> {ntt_rate:,.0f} elems/s"
+        f" ({ntt_reps} chained, elapsed {elapsed:.2f}s)")
 
     # ---- roofline: peak Montgomery-mul throughput (the speed-of-light
-    # denominator for every field kernel; BASELINE ">80% of roofline")
-    from halo2_tpu.msm.msm import auto_c
-    from halo2_tpu.msm.bucket_scan import n_windows_for
+    # denominator for every field kernel; BASELINE ">80% of roofline").
+    # Chained on-device: elapsed must dwarf the rtt.
     rk = 1 << 21
-    a0 = F.to_mont(jax.random.randint(jax.random.PRNGKey(77), (rk, 16), 0,
-                                      1 << 16, dtype=jnp.int32
-                                      ).astype(jnp.uint32))
-    b0 = F.to_mont(jax.random.randint(jax.random.PRNGKey(78), (rk, 16), 0,
-                                      1 << 16, dtype=jnp.int32
-                                      ).astype(jnp.uint32))
-    out_m = F.mul(a0, b0)
-    np.asarray(out_m[0])           # compile + first
-    t0 = time.time()
-    reps = 8
-    for _ in range(reps):
-        out_m = F.mul(out_m, b0)   # chained: distinct inputs each rep
-    np.asarray(out_m[0])
-    mul_rate = rk * reps / max(time.time() - t0 - rtt, 1e-9)
-    log(f"field mul: {mul_rate/1e6:,.0f} M muls/s")
+    a0 = rand_scalars(77)[:rk]
+    b0 = rand_scalars(78)[:rk]
+
+    mul_reps = 64
+
+    def mul_chain(reps):
+        @jax.jit
+        def run(x, b):
+            return jax.lax.fori_loop(0, reps, lambda i, v: F.mul(v, b), x)
+        return run
+
+    fnm = mul_chain(mul_reps)
+    _fetch(fnm(a0, b0)[0])   # compile + first
+    while True:
+        t0 = time.time()
+        _fetch(fnm(a0, b0)[0])
+        elapsed = time.time() - t0
+        if elapsed > max(0.5, 10 * rtt):
+            break
+        mul_reps *= 4
+        fnm = mul_chain(mul_reps)
+        _fetch(fnm(a0, b0)[0])
+    mul_rate = rk * mul_reps / (elapsed - rtt)
+    log(f"field mul: {mul_rate/1e6:,.0f} M muls/s "
+        f"({mul_reps} chained, elapsed {elapsed:.2f}s)")
 
     c_used = auto_c(n)
     n_win = n_windows_for(F, c_used)
@@ -156,50 +224,39 @@ def main():
     msm_roofline = mul_rate / (n_win * MULS_PER_MADD)
     msm_frac = pps / msm_roofline
     log(f"msm roofline (c={c_used}, {n_win} windows x {MULS_PER_MADD} muls)"
-        f": {msm_roofline:,.0f} pts/s -> measured fraction {msm_frac:.2f}")
+        f": {msm_roofline:,.0f} pts/s -> measured fraction {msm_frac:.3f}")
 
-    ntt_muls_per_elem = ntt_k / 2 + 1   # four-step: n/2 log n butterflies + twiddle
+    # four-step NTT work: (log n)/2 butterflies/elem, each 1 mul, plus one
+    # mid-twiddle mul per element per split level (~2 at 2^18) — docs/ntt.md
+    ntt_muls_per_elem = ntt_k / 2 + 2
     ntt_roofline = mul_rate / ntt_muls_per_elem
-    ntt_rate = (1 << ntt_k) / ntt_time
     ntt_frac = ntt_rate / ntt_roofline
     log(f"ntt roofline ({ntt_muls_per_elem:.0f} muls/elem): "
-        f"{ntt_roofline:,.0f} elems/s -> measured fraction {ntt_frac:.2f}")
+        f"{ntt_roofline:,.0f} elems/s -> measured fraction {ntt_frac:.3f}")
 
-    roofline = {
-        "field_mul_per_s": round(mul_rate),
-        "msm_roofline_pts_per_s": round(msm_roofline),
-        "msm_fraction": round(msm_frac, 3),
-        "ntt_roofline_elems_per_s": round(ntt_roofline),
-        "ntt_fraction": round(ntt_frac, 3),
+    # round-2 postmortem guard: a fraction outside (0, 1.2) means the
+    # measurement methodology degenerated (e.g. rtt subtraction clamped);
+    # refuse to publish garbage.
+    assert 1e8 < mul_rate < 1e13, f"implausible mul rate {mul_rate:.3g}"
+    assert 0 < msm_frac < 1.2, f"degenerate msm fraction {msm_frac:.3g}"
+    assert 0 < ntt_frac < 1.2, f"degenerate ntt fraction {ntt_frac:.3g}"
+
+    return {
+        "msm_points_per_sec": round(pps),
+        "ntt_elems_per_sec": round(ntt_rate),
+        "roofline": {
+            "field_mul_per_s": round(mul_rate),
+            "msm_roofline_pts_per_s": round(msm_roofline),
+            "msm_fraction": round(msm_frac, 3),
+            "ntt_roofline_elems_per_s": round(ntt_roofline),
+            "ntt_fraction": round(ntt_frac, 3),
+        },
     }
 
-    # ---- end-to-end prover (BASELINE config 3: plonk_api-class circuit,
-    # KZG/BN254 + SHPLONK, full 14-step prover) --------------------------
-    e2e = None
-    if os.environ.get("HALO2_TPU_BENCH_NO_E2E") != "1":
-        # free the micro-bench device state first: the cached window tables
-        # (~2.6 GB) plus roofline arrays otherwise crowd out the k=18
-        # prover's extended-domain working set
-        del engine, pts, scal, outs, out, a0, b0, out_m
-        try:
-            e2e = bench_e2e(int(os.environ.get("HALO2_TPU_BENCH_E2E_K",
-                                               "18")))
-        except Exception as e:  # keep the headline line printing
-            import traceback
-            log(f"e2e bench failed: {type(e).__name__}: {e}")
-            log(traceback.format_exc()[-2000:])
 
-    out = {
-        "metric": "msm_points_per_sec",
-        "value": round(pps),
-        "unit": "points/s",
-        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 4),
-    }
-    out["roofline"] = roofline
-    if e2e is not None:
-        out["e2e"] = e2e
-    print(json.dumps(out), flush=True)
-
+# ----------------------------------------------------------------------
+# stage: e2e prover
+# ----------------------------------------------------------------------
 
 def bench_e2e(k: int) -> dict:
     """Full keygen -> prove -> verify at 2^k rows on the plonk_api-class
@@ -208,6 +265,8 @@ def bench_e2e(k: int) -> dict:
     wall-time table (the transcript's host fetches make steps synchronous,
     so these are honest device times)."""
     import random
+
+    _setup_jax()
 
     from halo2_tpu.api import create_proof, keygen, verify
     from halo2_tpu.commit import (ParamsKZG, ProverSHPLONK, VerifierSHPLONK,
@@ -265,6 +324,63 @@ def bench_e2e(k: int) -> dict:
         "proof_bytes": len(proof),
         "steps_s": {n: round(s, 2) for n, s in timings.items()},
     }
+
+
+# ----------------------------------------------------------------------
+# orchestration
+# ----------------------------------------------------------------------
+
+def _run_stage(args, timeout):
+    """Run a stage in a subprocess; forward stderr; parse the marked JSON
+    line from stdout.  Returns None on failure (headline must still print)."""
+    cmd = [sys.executable, os.path.abspath(__file__)] + args
+    log(f"[driver] {' '.join(cmd)}")
+    try:
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        log(f"[driver] stage {args} timed out after {timeout}s")
+        return None
+    for line in proc.stdout.decode(errors="replace").splitlines():
+        if line.startswith(RESULT_MARK):
+            return json.loads(line[len(RESULT_MARK):])
+    log(f"[driver] stage {args} produced no result (rc={proc.returncode})")
+    return None
+
+
+def main():
+    if "--stage" in sys.argv:
+        stage = sys.argv[sys.argv.index("--stage") + 1]
+        if stage == "micro":
+            res = stage_micro()
+        elif stage == "e2e":
+            k = int(sys.argv[sys.argv.index("--k") + 1])
+            res = bench_e2e(k)
+        else:
+            raise SystemExit(f"unknown stage {stage}")
+        print(RESULT_MARK + json.dumps(res), flush=True)
+        return
+
+    # Each stage gets a fresh process (and hence a fully drained device).
+    e2e = None
+    if os.environ.get("HALO2_TPU_BENCH_NO_E2E") != "1":
+        e2e_k = os.environ.get("HALO2_TPU_BENCH_E2E_K", "18")
+        e2e = _run_stage(["--stage", "e2e", "--k", e2e_k], timeout=5400)
+
+    micro = _run_stage(["--stage", "micro"], timeout=3600)
+
+    out = {
+        "metric": "msm_points_per_sec",
+        "value": micro["msm_points_per_sec"] if micro else 0,
+        "unit": "points/s",
+        "vs_baseline": round((micro["msm_points_per_sec"] if micro else 0)
+                             / BASELINE_POINTS_PER_SEC, 4),
+    }
+    if micro:
+        out["roofline"] = micro["roofline"]
+        out["ntt_elems_per_sec"] = micro["ntt_elems_per_sec"]
+    if e2e is not None:
+        out["e2e"] = e2e
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -32,12 +32,19 @@ class Blind:
 class PolyRef:
     """A committed polynomial (coeff basis, device array) plus its blind.
     Query grouping uses *object identity*, mirroring the reference's
-    pointer-equality on `&Polynomial` (poly/query.rs:50-55)."""
+    pointer-equality on `&Polynomial` (poly/query.rs:50-55).
+
+    Accepts a raw array or a basis-typed `Poly` (poly/poly.py); a typed
+    polynomial must be in coefficient form (the multiopen provers do
+    coefficient arithmetic on it) — the reference makes this a compile-time
+    property via `Polynomial<F, Coeff>` in ProverQuery (poly/query.rs:21-27).
+    """
 
     __slots__ = ("poly", "blind")
 
     def __init__(self, poly, blind: Blind):
-        self.poly = poly
+        from ..poly.poly import COEFF, unwrap
+        self.poly = unwrap(poly, COEFF, "PolyRef")
         self.blind = blind
 
 

@@ -166,10 +166,15 @@ class ParamsIPA:
 
     def commit(self, poly, blind: Blind):
         """<poly, g> + blind*w (coeff basis); returns Jacobian point array ()."""
-        return self._commit_with(self.g, poly, blind)
+        from ..poly.poly import COEFF, unwrap
+        return self._commit_with(self.g, unwrap(poly, COEFF,
+                                                "ParamsIPA.commit"), blind)
 
     def commit_lagrange(self, values, blind: Blind):
-        return self._commit_with(self.g_lagrange, values, blind)
+        from ..poly.poly import LAGRANGE, unwrap
+        return self._commit_with(
+            self.g_lagrange,
+            unwrap(values, LAGRANGE, "ParamsIPA.commit_lagrange"), blind)
 
     def _commit_with(self, bases, poly, blind: Blind):
         F = self.curve.Fr

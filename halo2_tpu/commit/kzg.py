@@ -25,6 +25,7 @@ from ..fields.field import NLIMBS
 from ..msm import msm
 from ..msm.msm import CachedMSM
 from ..compat import bn254_pairing as bn
+from ..poly.poly import COEFF, LAGRANGE, unwrap as unwrap_basis
 from .base import Blind
 
 _PARAMS_CACHE = os.path.join(
@@ -167,12 +168,14 @@ class ParamsKZG:
         return self._cached_msm[name]
 
     def commit(self, poly, blind: Blind = None):
+        poly = unwrap_basis(poly, COEFF, "ParamsKZG.commit")
         n = poly.shape[0]
         if n == self.n:
             return self._cached("g", self.g)(poly)
         return msm(self.curve, poly, self.g[:n])
 
     def commit_lagrange(self, values, blind: Blind = None):
+        values = unwrap_basis(values, LAGRANGE, "ParamsKZG.commit_lagrange")
         n = values.shape[0]
         if n == self.n:
             return self._cached("gl", self.g_lagrange)(values)

@@ -43,6 +43,36 @@ class Region:
 
 
 @dataclass(frozen=True)
+class InRegion:
+    """FailureLocation::InRegion (dev/failure.rs:23-40): region plus the
+    offset of the failing row relative to the region's start.  Proxies
+    `.name`/`.index` to the region for callers that treat the location as
+    a region."""
+    region: "Region"
+    offset: int
+
+    @property
+    def name(self):
+        return self.region.name
+
+    @property
+    def index(self):
+        return self.region.index
+
+    def __str__(self):
+        return f"in {self.region} at offset {self.offset}"
+
+
+@dataclass(frozen=True)
+class OutsideRegion:
+    """FailureLocation::OutsideRegion."""
+    row: int
+
+    def __str__(self):
+        return f"outside any region, on row {self.row}"
+
+
+@dataclass(frozen=True)
 class VirtualCell:
     """metadata::VirtualCell — a (column, rotation) reference inside a
     constraint, rendered with the queried column kind."""

@@ -31,16 +31,27 @@ from ..plonk.evaluation import evaluate_expression
 class VerifyFailure:
     """dev/failure.rs:130-232 analog.  `kind` distinguishes the variants
     (gate | cell_not_assigned | lookup | shuffle | permutation | instance);
-    `location` is a metadata.Region when the failure maps to a region, and
-    `cell_values` lists (VirtualCell, value) pairs for ConstraintNotSatisfied
-    the way the reference's emitter prints them."""
+    `location` is a metadata.InRegion/OutsideRegion failure location, and
+    `cell_values` lists (VirtualCell, value) pairs for ConstraintNotSatisfied.
+    `rendered` carries the emitter-grade block (aligned cell-layout table +
+    labeled constraint + assigned values — failure/emitter.rs) when the
+    failure kind supports it."""
     kind: str
     detail: str
     location: object = None
     cell_values: list = dataclass_field(default_factory=list)
+    rendered: str = None
+
+    def emit(self) -> str:
+        """The reference's `Display`+emitter output (failure.rs:442-487)."""
+        if self.rendered is not None:
+            return self.rendered
+        return repr(self)
 
     def __repr__(self):
-        loc = f" in {self.location}" if self.location is not None else ""
+        if self.rendered is not None:
+            return self.rendered
+        loc = f" {self.location}" if self.location is not None else ""
         cells = ""
         if self.cell_values:
             cells = "".join(f"\n    {c} = {v}" for c, v in self.cell_values)
@@ -265,12 +276,17 @@ class MockProver:
                     rows = np.nonzero(np.asarray(nonzero))[0][:5]
                     row0 = int(rows[0])
                     cmeta = metadata.Constraint(gmeta, cidx, cname)
+                    location = self._region_at(row0)
+                    cell_values = self._gate_cell_values(gate, row0)
+                    from .emitter import render_constraint_not_satisfied
                     failures.append(VerifyFailure(
                         "gate",
                         f"{cmeta} not satisfied at rows "
                         f"{list(map(int, rows))}",
-                        location=self._region_at(row0),
-                        cell_values=self._gate_cell_values(gate, row0)))
+                        location=location,
+                        cell_values=cell_values,
+                        rendered=render_constraint_not_satisfied(
+                            F.p, cmeta, location, cell_values, poly)))
 
         # ConstraintPoisoned (failure.rs:158-171): a selector-enabled gate
         # at a row whose queried cells reach into the poisoned blinding
@@ -337,10 +353,17 @@ class MockProver:
             for row in row_iter:
                 tup = tuple(col[row] for col in inputs)
                 if tup not in table_set:
+                    from .emitter import render_lookup_failure
+                    lk_idx = self.cs.lookups.index(lk)
+                    location = self._region_at(row)
                     failures.append(VerifyFailure(
                         "lookup",
                         f"lookup '{lk.name}' input {tup} at row {row} "
-                        f"not in table"))
+                        f"not in table",
+                        location=location,
+                        rendered=render_lookup_failure(
+                            F.p, lk.name, lk_idx, location,
+                            lk.input_expressions, list(tup))))
                     break
 
         # shuffles: multiset equality over usable rows
@@ -366,11 +389,15 @@ class MockProver:
         return failures
 
     def _region_at(self, row: int):
-        """metadata.Region of the first region whose rows include `row`."""
+        """FailureLocation at `row` (dev/failure.rs:42-74 find_expressions
+        analog): InRegion with the offset relative to the region start, or
+        OutsideRegion."""
         for r in self.regions:
             if row in r["rows"]:
-                return metadata.Region(r["index"], r["name"])
-        return None
+                start = min(r["rows"]) if r["rows"] else 0
+                return metadata.InRegion(
+                    metadata.Region(r["index"], r["name"]), row - start)
+        return metadata.OutsideRegion(row)
 
     def _gate_cell_values(self, gate, row: int):
         """(VirtualCell, value) pairs for every cell the gate queries at

@@ -30,6 +30,18 @@ def _reduce_value(v, p: int) -> int:
     return int(v) % p
 
 
+def _materialize_column(p: int, col: List) -> List[int]:
+    """Resolve a whole column of deferred payloads (int or `Assigned`) to
+    canonical ints with at most ONE modular inversion — the reference's
+    `batch_invert_assigned` (halo2_frontend/src/circuit.rs:363-404).  The
+    per-cell `pow(den, p-2, p)` this replaces is O(cells) host modexps,
+    noticeable at k>=18."""
+    from .assigned import batch_evaluate
+    if any(isinstance(v, Assigned) and v.den != 1 for v in col):
+        return batch_evaluate(p, col)
+    return [(v.num if isinstance(v, Assigned) else int(v)) % p for v in col]
+
+
 class SynthesisError(Exception):
     pass
 
@@ -412,7 +424,8 @@ class KeygenAssembly:
         if row >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
         if value.is_known():
-            self.fixed[column.index][row] = _reduce_value(value.value(), self.p)
+            # deferred payload; batch-resolved in compile_circuit
+            self.fixed[column.index][row] = value.value()
 
     def copy(self, lcol: Column, lrow: int, rcol: Column, rrow: int):
         if lrow >= self.usable_rows or rrow >= self.usable_rows:
@@ -425,7 +438,7 @@ class KeygenAssembly:
         if from_row > self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
         if value.is_known():
-            v = _reduce_value(value.value(), self.p)
+            v = value.value()
             col = self.fixed[column.index]
             for row in range(from_row, self.usable_rows):
                 col[row] = v
@@ -476,7 +489,9 @@ class WitnessCollection:
         if not value.is_known():
             raise SynthesisError(
                 f"unknown witness value at {column} row {row}")
-        self.advice[column.index][row] = _reduce_value(value.value(), self.p)
+        # store the deferred payload; divisions resolve column-batched at
+        # the end of the phase (WitnessCalculator.calc)
+        self.advice[column.index][row] = value.value()
 
     def assign_fixed(self, column, row, value):
         pass
@@ -536,7 +551,9 @@ def compile_circuit(F, k: int, circuit: Circuit,
     else:
         selector_polys = cs.directly_convert_selectors_to_fixed(
             assembly.selectors)
-    fixed = [col[:] for col in assembly.fixed]
+    # batch_invert_assigned equivalent (circuit.rs:82): one modular
+    # inversion per fixed column resolves every deferred division
+    fixed = [_materialize_column(F.p, col) for col in assembly.fixed]
     fixed.extend(selector_polys)
 
     return (CompiledCircuit(cs, Preprocessing(fixed, assembly.copies)),
@@ -563,4 +580,6 @@ class WitnessCalculator:
             self.usable_rows)
         self.circuit.floor_planner.synthesize(
             witness, self.circuit, self.config, self.cs.constants)
-        return witness.advice
+        # batch_invert_assigned equivalent: one inversion per column
+        return {i: _materialize_column(self.F.p, col)
+                for i, col in witness.advice.items()}

@@ -31,7 +31,12 @@ class BatchVerifier:
 
     def finalize(self, params: ParamsIPA, vk: VerifyingKey,
                  transcript_cls=Blake2bRead) -> bool:
-        """Returns False if *some* proof is invalid (batch.rs:104-137)."""
+        """Returns False if *some* proof is invalid (batch.rs:104-137).
+
+        Folding follows batch.rs:96-106 `accumulate_msm`: the *accumulator*
+        is rescaled by a fresh random factor before each proof's MSM is
+        added, so every proof ends up with an independent random weight and
+        two invalid proofs cannot cancel each other's MSM errors."""
         acc = params.empty_msm()
         for item in self.items:
             try:
@@ -40,9 +45,9 @@ class BatchVerifier:
                 queries = backend_verify_queries(
                     params, vk, transcript, item.instances,
                     verifier.QUERY_INSTANCE)
-                msm = params.empty_msm()
-                msm.scale(self.rng.randrange(1, params.curve.Fr.p))
-                guard = verifier.verify_proof(transcript, queries, msm)
+                guard = verifier.verify_proof(transcript, queries,
+                                              params.empty_msm())
+                acc.scale(self.rng.randrange(1, params.curve.Fr.p))
                 acc.add_msm(guard.use_challenges())
             except (ValueError, AssertionError):
                 return False

@@ -25,6 +25,7 @@ from ..frontend.expression import ADVICE, FIXED, INSTANCE, Rotation
 from ..ntt import powers
 from ..poly.arith import eval_polynomial, prefix_product
 from ..poly.domain import Rotation as DomRotation
+from ..poly.poly import Poly
 from ..commit.base import Blind, PolyRef, ProverQuery
 from .evaluation import evaluate_expression
 from .keygen import ProvingKey
@@ -119,6 +120,9 @@ class Evaluator:
         lookups[c][l] = (product_poly, permuted_input_poly, permuted_table_poly)
         shuffles[c][s] = product_poly
         permutations[c] = [z_poly per set]
+        All polys are basis-typed `Poly` (coeff); the tag is checked at the
+        coset transforms and stripped before the jitted accumulators (tags
+        are host-side typing, not device data).
         Returns extended-domain evaluations of the numerator of h.
         """
         F, domain, cs = self.F, self.domain, self.cs_back
@@ -126,10 +130,13 @@ class Evaluator:
         pid = id(pk)
         value = F.zeros((ext_n,))
 
+        def to_ext(poly_or_stack):
+            return domain.coeff_to_extended(poly_or_stack).values
+
         for c in range(len(advice_polys)):
-            advice_c = domain.coeff_to_extended(advice_polys[c]) \
+            advice_c = to_ext(advice_polys[c]) \
                 if advice_polys[c].shape[0] else F.zeros((0, ext_n))
-            instance_c = domain.coeff_to_extended(instance_polys[c]) \
+            instance_c = to_ext(instance_polys[c]) \
                 if instance_polys[c].shape[0] else F.zeros((0, ext_n))
             cols = (pk.fixed_cosets, advice_c, instance_c)
 
@@ -140,7 +147,7 @@ class Evaluator:
             # ---- permutation argument (evaluation.rs:404-483)
             sets = permutations[c]
             if sets:
-                exts = domain.coeff_to_extended(jnp.stack(sets))
+                exts = to_ext(Poly.stack(sets))
                 value = self._acc((pid, "perm", len(sets)),
                                   lambda: self._build_perm(len(sets)))(
                     value, y, beta, gamma, exts, pk.l0, pk.l_last,
@@ -148,8 +155,7 @@ class Evaluator:
 
             # ---- lookups, cosets streamed per argument (:486-558)
             for li, (z_poly, a_poly, s_poly) in enumerate(lookups[c]):
-                zas = domain.coeff_to_extended(
-                    jnp.stack([z_poly, a_poly, s_poly]))
+                zas = to_ext(Poly.stack([z_poly, a_poly, s_poly]))
                 value = self._acc((pid, "lookup", li),
                                   lambda: self._build_lookup(cs.cs.lookups[li]))(
                     value, y, beta, gamma, theta, challenges, zas,
@@ -157,13 +163,13 @@ class Evaluator:
 
             # ---- shuffles, streamed (:561-620)
             for si, z_poly in enumerate(shuffles[c]):
-                z_ext = domain.coeff_to_extended(z_poly)
+                z_ext = to_ext(z_poly)
                 value = self._acc((pid, "shuffle", si),
                                   lambda: self._build_shuffle(cs.cs.shuffles[si]))(
                     value, y, theta, gamma, challenges, z_ext,
                     pk.l0, pk.l_last, pk.l_active_row, *cols)
 
-        return value
+        return Poly.extended(value)
 
     # -- accumulator builders (elementwise-only; expressions are static) --
 
@@ -346,11 +352,13 @@ class Prover:
                 ni, n, NLIMBS) if ni else F.zeros((0, n))
             if query_instance:
                 for i in range(ni):
-                    comm = params.commit_affine_lagrange(vals[i], Blind(1))
+                    comm = params.commit_affine_lagrange(
+                        Poly.lagrange(vals[i]), Blind(1))
                     transcript.common_point(comm)
             self.instance_values.append(vals)
             self.instance_polys.append(
-                domain.lagrange_to_coeff(vals) if ni else vals)
+                domain.lagrange_to_coeff(Poly.lagrange(vals)) if ni
+                else Poly.coeff(vals))
 
         na = cs.num_advice_columns
         self.advice_values = [F.zeros((na, n)) for _ in instances]
@@ -393,7 +401,8 @@ class Prover:
                             f"unblinded column {ci} nonzero blinding rows"
                     blind = Blind(1)
                 col = F.encode_ints(values)
-                comm = self.params.commit_affine_lagrange(col, blind)
+                comm = self.params.commit_affine_lagrange(
+                    Poly.lagrange(col), blind)
                 # [TRANSCRIPT-3]
                 self.transcript.write_point(comm)
                 self.advice_values[circ] = \
@@ -494,13 +503,14 @@ class Prover:
         # benches/commit_zk.rs): draw 384 uniform bits per coefficient as
         # numpy uint16 limbs and reduce mod p on device as hi*2^192 + lo.
         with self._scope("vanishing_random T12"):
-            random_poly = _random_poly_device(F, n, rng)
+            random_poly = Poly.coeff(_random_poly_device(F, n, rng))
             random_blind = Blind(rng.randrange(p))
             t.write_point(params.commit_affine(random_poly, random_blind))
 
-            # advice -> coeff form
-            advice_polys = [domain.lagrange_to_coeff(a) if a.shape[0] else a
-                            for a in self.advice_values]
+            # advice -> coeff form (basis-typed from here on)
+            advice_polys = [
+                domain.lagrange_to_coeff(Poly.lagrange(a)) if a.shape[0]
+                else Poly.coeff(a) for a in self.advice_values]
 
         self._tick('vanishing_random [T12]')
         # [TRANSCRIPT-13] y; evaluate h
@@ -566,7 +576,8 @@ class Prover:
                 h_poly = piece
                 h_blind = blind.value
             else:
-                h_poly = F.add(F.mul(h_poly, F.encode_int(xn)), piece)
+                h_poly = Poly.coeff(F.add(
+                    F.mul(h_poly.values, F.encode_int(xn)), piece.values))
                 h_blind = (h_blind * xn + blind.value) % p
         import os as _os
         if _os.environ.get("HALO2_TPU_DEBUG"):
@@ -764,6 +775,8 @@ class Prover:
 
         in_blind = Blind(rng.randrange(p))
         tab_blind = Blind(rng.randrange(p))
+        permuted_input = Poly.lagrange(permuted_input)
+        permuted_table = Poly.lagrange(permuted_table)
         self.transcript.write_point(
             self.params.commit_affine_lagrange(permuted_input, in_blind))
         self.transcript.write_point(
@@ -771,7 +784,8 @@ class Prover:
 
         return {
             "compressed_input": comp_in, "compressed_table": comp_tab,
-            "permuted_input": permuted_input, "permuted_table": permuted_table,
+            "permuted_input": permuted_input.values,
+            "permuted_table": permuted_table.values,
             "permuted_input_poly": domain.lagrange_to_coeff(permuted_input),
             "permuted_table_poly": domain.lagrange_to_coeff(permuted_table),
             "permuted_input_blind": in_blind,
@@ -815,8 +829,8 @@ class Prover:
                 right = z_ints[i] * ((ai[i] + beta) % p) % p                     * ((si[i] + gamma) % p) % p
                 assert left == right, f"lookup product relation at row {i}"
 
-        z = jnp.concatenate(
-            [z, F.encode_ints([rng.randrange(p) for _ in range(bf)])], axis=0)
+        z = Poly.lagrange(jnp.concatenate(
+            [z, F.encode_ints([rng.randrange(p) for _ in range(bf)])], axis=0))
 
         blind = Blind(rng.randrange(p))
         self.transcript.write_point(
@@ -885,6 +899,7 @@ class Prover:
             last_z = F.decode_int(z[n - (bf + 1)])
 
             blind = Blind(rng.randrange(p))
+            z = Poly.lagrange(z)
             self.transcript.write_point(
                 self.params.commit_affine_lagrange(z, blind))
             sets.append({"poly": domain.lagrange_to_coeff(z), "blind": blind})
@@ -911,8 +926,8 @@ class Prover:
                         F.batch_inv(F.add(comp_sh, g_enc)))
         cum = prefix_product(F, product)
         z = jnp.concatenate([F.ones((1,)), cum], axis=0)[: n - bf]
-        z = jnp.concatenate(
-            [z, F.encode_ints([rng.randrange(p) for _ in range(bf)])], axis=0)
+        z = Poly.lagrange(jnp.concatenate(
+            [z, F.encode_ints([rng.randrange(p) for _ in range(bf)])], axis=0))
         blind = Blind(rng.randrange(p))
         self.transcript.write_point(
             self.params.commit_affine_lagrange(z, blind))

@@ -36,9 +36,14 @@ def tree_sum(F: Field, a, axis: int = -2):
     return a[0]
 
 
-@functools.partial(jax.jit, static_argnums=0)
 def eval_polynomial(F: Field, poly, x):
     """Evaluate coefficients (..., n, L) at point x () -> (..., L)."""
+    from .poly import COEFF, unwrap
+    return _eval_polynomial_jit(F, unwrap(poly, COEFF, "eval_polynomial"), x)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _eval_polynomial_jit(F: Field, poly, x):
     n = poly.shape[-2]
     # pad to a power of two for the doubling powers construction
     m = 1 << (n - 1).bit_length()
@@ -52,7 +57,6 @@ def compute_inner_product(F: Field, a, b):
     return tree_sum(F, F.mul(a, b), axis=-2)
 
 
-@functools.partial(jax.jit, static_argnums=0)
 def kate_division(F: Field, poly, b):
     """Divide poly (..., n, L) by (X - b), dropping the remainder.
 
@@ -60,6 +64,12 @@ def kate_division(F: Field, poly, b):
     q_{i} = c_{i+1} + b * q_{i+1} is computed as an associative scan over the
     affine maps x -> b*x + c_i (exact; matches arithmetic.rs:101-120).
     """
+    from .poly import COEFF, unwrap
+    return _kate_division_jit(F, unwrap(poly, COEFF, "kate_division"), b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _kate_division_jit(F: Field, poly, b):
     n = poly.shape[-2]
     coeffs = jnp.flip(poly[..., 1:, :], axis=-2)       # c_{n-1} ... c_1
     coeffs = jnp.moveaxis(coeffs, -2, 0)               # (n-1, ..., L)

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..fields.field import Field, NLIMBS
 from ..ntt import get_ntt, powers
+from .poly import COEFF, EXTENDED, LAGRANGE, Poly, take
 
 
 class Rotation:
@@ -135,6 +136,31 @@ class EvaluationDomain:
             self._sharded[self.extended_k] = ShardedNTT(
                 mesh, self.F, self.extended_k, self.extended_omega)
 
+    def _chunk_batched(self, fn, a, out_rows: int):
+        """Apply transform `fn` over the batch dims of `a` in chunks whose
+        per-dispatch footprint stays under HALO2_TPU_NTT_CHUNK_MB (default
+        512).  A whole stacked column set at k>=18 over the extended domain
+        otherwise compiles to an executable whose working set alone
+        overflows HBM (the batched four-step NTT keeps several
+        batch-sized temporaries live); equal-size chunks share one
+        compiled executable."""
+        if a.ndim <= 2:
+            return fn(a)
+        import os
+        per_col = out_rows * NLIMBS * 4
+        limit = int(float(os.environ.get(
+            "HALO2_TPU_NTT_CHUNK_MB", "256")) * 1e6)
+        batch = 1
+        for d in a.shape[:-2]:
+            batch *= d
+        chunk = max(1, limit // max(per_col, 1))
+        if batch <= chunk:
+            return fn(a)
+        flat = a.reshape((-1,) + a.shape[-2:])
+        outs = [fn(flat[i:i + chunk]) for i in range(0, batch, chunk)]
+        out = jnp.concatenate(outs, axis=0)
+        return out.reshape(a.shape[:-2] + out.shape[-2:])
+
     def _apply_sharded(self, log_n, a, inverse: bool):
         """Apply the sharded transform along axis -2, unrolling any batch
         dims (each column is one shard_map call)."""
@@ -148,16 +174,22 @@ class EvaluationDomain:
         return out.reshape(batch + out.shape[-2:])
 
     def lagrange_to_coeff(self, a):
+        a, typed = take(a, LAGRANGE, "lagrange_to_coeff")
         assert a.shape[-2] == self.n
         if self._mesh is not None:
-            return self._apply_sharded(self.k, a, inverse=True)
-        return self._ntt.inverse(a)
+            out = self._apply_sharded(self.k, a, inverse=True)
+        else:
+            out = self._chunk_batched(self._ntt.inverse, a, self.n)
+        return Poly.coeff(out) if typed else out
 
     def coeff_to_lagrange(self, a):
+        a, typed = take(a, COEFF, "coeff_to_lagrange")
         assert a.shape[-2] == self.n
         if self._mesh is not None:
-            return self._apply_sharded(self.k, a, inverse=False)
-        return self._ntt.forward(a)
+            out = self._apply_sharded(self.k, a, inverse=False)
+        else:
+            out = self._chunk_batched(self._ntt.forward, a, self.n)
+        return Poly.lagrange(out) if typed else out
 
     @functools.partial(jax.jit, static_argnums=0)
     def _distribute_zeta(self, a, pattern):
@@ -169,28 +201,45 @@ class EvaluationDomain:
     def coeff_to_extended(self, a):
         """Coefficients -> evaluations over the zeta-coset extended domain
         (domain.rs:230-244)."""
+        a, typed = take(a, COEFF, "coeff_to_extended")
         assert a.shape[-2] == self.n
-        a = self._distribute_zeta(a, self._zeta_fwd)
-        pad = [(0, 0)] * a.ndim
-        pad[-2] = (0, self.extended_n - self.n)
-        a = jnp.pad(a, pad)
-        if self._mesh is not None:
-            return self._apply_sharded(self.extended_k, a, inverse=False)
-        return self._ntt_ext.forward(a)
+
+        def one_chunk(c):
+            c = self._distribute_zeta(c, self._zeta_fwd)
+            pad = [(0, 0)] * c.ndim
+            pad[-2] = (0, self.extended_n - self.n)
+            c = jnp.pad(c, pad)
+            if self._mesh is not None:
+                return self._apply_sharded(self.extended_k, c, inverse=False)
+            return self._ntt_ext.forward(c)
+
+        out = self._chunk_batched(one_chunk, a, self.extended_n)
+        return Poly.extended(out) if typed else out
 
     def extended_to_coeff(self, a):
         """Extended coset evaluations -> coefficient vector, truncated to
         n * quotient_poly_degree (domain.rs:271-293)."""
+        a, typed = take(a, EXTENDED, "extended_to_coeff")
         assert a.shape[-2] == self.extended_n
-        if self._mesh is not None:
-            a = self._apply_sharded(self.extended_k, a, inverse=True)
-        else:
-            a = self._ntt_ext.inverse(a)
-        a = self._distribute_zeta(a, self._zeta_inv)
-        return a[..., : self.n * self.quotient_poly_degree, :]
+
+        def one_chunk(c):
+            if self._mesh is not None:
+                c = self._apply_sharded(self.extended_k, c, inverse=True)
+            else:
+                c = self._ntt_ext.inverse(c)
+            c = self._distribute_zeta(c, self._zeta_inv)
+            return c[..., : self.n * self.quotient_poly_degree, :]
+
+        out = self._chunk_batched(one_chunk, a, self.extended_n)
+        return Poly.coeff(out) if typed else out
+
+    def divide_by_vanishing_poly(self, a):
+        a, typed = take(a, EXTENDED, "divide_by_vanishing_poly")
+        out = self._divide_by_vanishing_jit(a)
+        return Poly.extended(out) if typed else out
 
     @functools.partial(jax.jit, static_argnums=0)
-    def divide_by_vanishing_poly(self, a):
+    def _divide_by_vanishing_jit(self, a):
         assert a.shape[-2] == self.extended_n
         t = self.t_evaluations_inv
         reps = self.extended_n // t.shape[0]
@@ -199,11 +248,15 @@ class EvaluationDomain:
     def rotate_extended(self, a, rotation: Rotation):
         """Rotate over the original domain viewed inside the extended domain
         (domain.rs:247-263)."""
+        a, typed = take(a, EXTENDED, "rotate_extended")
         shift = (1 << (self.extended_k - self.k)) * rotation.i
-        return jnp.roll(a, -shift, axis=-2)
+        out = jnp.roll(a, -shift, axis=-2)
+        return Poly.extended(out) if typed else out
 
     def rotate_lagrange(self, a, rotation: Rotation):
-        return jnp.roll(a, -rotation.i, axis=-2)
+        a, typed = take(a, LAGRANGE, "rotate_lagrange")
+        out = jnp.roll(a, -rotation.i, axis=-2)
+        return Poly.lagrange(out) if typed else out
 
     # ------------------------------------------------------------------
     # host-side scalar helpers (python ints)

@@ -87,6 +87,50 @@ def test_batch_verifier(setup):
     assert not batch2.finalize(params, pk.vk)
 
 
+def test_batch_verifier_canceling_errors(setup):
+    """batch.rs:96-106: the accumulator must be rescaled by a fresh random
+    factor before each proof's MSM folds in.  Under weight-1 folding, two
+    invalid proofs whose MSM errors are exact negatives sum to the identity
+    and the batch wrongly verifies.  This drives `finalize` with two stub
+    guards whose MSMs cancel: [s]W and [-s]W."""
+    from unittest import mock
+
+    import halo2_tpu.plonk.batch as batch_mod
+
+    params, pk, circuit, c = setup
+    p = params.curve.Fr.p
+    s = 12345
+    errors = [s, p - s]   # canceling MSM "errors"
+
+    class FakeGuard:
+        def __init__(self, scalar):
+            self.scalar = scalar
+
+        def use_challenges(self):
+            m = params.empty_msm()
+            m.append_term(self.scalar, params.w_aff)
+            return m
+
+    class FakeVerifier:
+        QUERY_INSTANCE = True
+
+        def __init__(self, _params):
+            pass
+
+        def verify_proof(self, transcript, queries, msm):
+            # msm must arrive UNscaled-empty; fold scaling happens outside
+            assert not msm.terms and msm.g_scalars is None
+            return FakeGuard(errors.pop(0))
+
+    batch = BatchVerifier(random.Random(7))
+    batch.add_proof([], b"")
+    batch.add_proof([], b"")
+    with mock.patch.object(batch_mod, "VerifierIPA", FakeVerifier), \
+            mock.patch.object(batch_mod, "backend_verify_queries",
+                              lambda *a, **k: []):
+        assert not batch.finalize(params, pk.vk)
+
+
 def test_vk_pk_serde(setup):
     """Reference-layout roundtrip (plonk.rs:58-155, :297-376): the vk hash
     is NOT stored — it is recomputed from the recompiled constraint system

@@ -214,3 +214,21 @@ def test_instance_cell_not_assigned_detected():
     mp = MockProver.run(F, 4, InstCircuit(), [[5]])
     kinds = [f.kind for f in mp.verify()]
     assert "instance_cell_not_assigned" in kinds, kinds
+
+
+def test_emitter_rendered_output():
+    """Emitter-grade rendering (failure/emitter.rs): a failing gate's repr
+    contains the aligned cell-layout table, the labeled constraint, and the
+    assigned cell values."""
+    prover = MockProver.run(F, K, BrokenGateCircuit(7), [[7]])
+    f = [x for x in prover.verify() if x.kind == "gate"][0]
+    text = repr(f)
+    assert "error: constraint not satisfied" in text
+    assert "Cell layout in region 'bad mul'" in text
+    assert "| Offset |" in text and "A0" in text and "A1" in text
+    assert "applied here" in text
+    assert "Constraint" in text and "= 0" in text
+    assert "Assigned cell values:" in text
+    assert "x0 = " in text
+    # emit() returns the same block
+    assert f.emit() == text

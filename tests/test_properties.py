@@ -120,3 +120,21 @@ def test_value_to_field_deferred_inversion():
     assert isinstance(inner, Assigned)
     assert _reduce_value(inner, P) == pow(12, P - 2, P)
     assert Value.unknown().invert().value() is None
+
+
+def test_materialize_column_batched():
+    """batch_invert_assigned equivalent (frontend/src/circuit.rs:363-404):
+    a column of deferred rationals resolves with one inversion, matching
+    per-cell evaluate()."""
+    from halo2_tpu.fields import PASTA_FP
+    from halo2_tpu.frontend.assigned import Assigned
+    from halo2_tpu.frontend.circuit import _materialize_column
+    p = PASTA_FP.p
+    col = [Assigned.rational(7, 3), 5, Assigned.zero(),
+           Assigned.rational(1, p - 2), Assigned.trivial(9), 0]
+    out = _materialize_column(p, col)
+    expect = [v.evaluate(p) if isinstance(v, Assigned) else v % p
+              for v in col]
+    assert out == expect
+    # all-trivial fast path
+    assert _materialize_column(p, [1, 2, Assigned.trivial(3)]) == [1, 2, 3]

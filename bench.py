@@ -349,6 +349,11 @@ def _run_stage(args, timeout):
 
 def main():
     if "--stage" in sys.argv:
+        # periodic thread dumps to stderr: long silences are usually remote
+        # compiles, but a real hang must be diagnosable from the log
+        import faulthandler
+        faulthandler.enable()
+        faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
         stage = sys.argv[sys.argv.index("--stage") + 1]
         if stage == "micro":
             res = stage_micro()

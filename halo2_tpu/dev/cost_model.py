@@ -12,7 +12,7 @@ import json
 from dataclasses import dataclass, asdict
 from typing import Optional
 
-from ..frontend.circuit import Circuit
+from ..frontend.circuit import Circuit, configure_circuit
 from ..frontend.constraint_system import ConstraintSystem
 
 COMMITMENT_SCHEMES = ("ipa", "kzg-gwc", "kzg-shplonk")
@@ -41,7 +41,7 @@ class CircuitCost:
     @staticmethod
     def measure(k: int, circuit: Circuit) -> "CircuitCost":
         cs = ConstraintSystem()
-        circuit.configure(cs)
+        configure_circuit(circuit, cs)
         return CircuitCost(
             k=k,
             max_degree=cs.degree(),

@@ -3,7 +3,7 @@ pretty-print every gate's constraints and queried cells for a circuit."""
 
 from __future__ import annotations
 
-from ..frontend.circuit import Circuit
+from ..frontend.circuit import Circuit, configure_circuit
 from ..frontend.constraint_system import ConstraintSystem
 
 
@@ -14,7 +14,7 @@ class CircuitGates:
     @staticmethod
     def collect(circuit: Circuit) -> "CircuitGates":
         cs = ConstraintSystem()
-        circuit.configure(cs)
+        configure_circuit(circuit, cs)
         return CircuitGates(cs)
 
     def __str__(self) -> str:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Set, Tuple
 
-from ..frontend.circuit import Circuit, Value, NotEnoughRowsAvailable
+from ..frontend.circuit import Circuit, Value, NotEnoughRowsAvailable, configure_circuit
 from ..frontend.constraint_system import ConstraintSystem
 from ..frontend.expression import ADVICE, FIXED, INSTANCE, Column, Selector
 
@@ -101,7 +101,7 @@ class CircuitLayout:
     def measure(k: int, circuit: Circuit):
         """Synthesize into a recorder; returns (recorder, cs)."""
         cs = ConstraintSystem()
-        config = circuit.configure(cs)
+        config = configure_circuit(circuit, cs)
         recorder = _LayoutRecorder(k, cs)
         circuit.floor_planner.synthesize(
             recorder, circuit.without_witnesses(), config, cs.constants)

@@ -21,6 +21,7 @@ import numpy as np
 from ..fields.field import Field
 from ..frontend.circuit import (
     Circuit, Value, NotEnoughRowsAvailable, SynthesisError, _reduce_value,
+    configure_circuit,
 )
 from ..frontend.constraint_system import ConstraintSystem
 from ..frontend.expression import ADVICE, FIXED, INSTANCE, Column, Selector
@@ -171,7 +172,7 @@ class MockProver:
     def run(F: Field, k: int, circuit: Circuit,
             instances: List[List[int]]) -> "MockProver":
         cs = ConstraintSystem()
-        config = circuit.configure(cs)
+        config = configure_circuit(circuit, cs)
         n = 1 << k
         if n < cs.minimum_rows():
             raise NotEnoughRowsAvailable(k)

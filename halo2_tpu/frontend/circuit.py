@@ -377,11 +377,33 @@ class Circuit:
     def without_witnesses(self) -> "Circuit":
         raise NotImplementedError
 
+    def params(self):
+        """Runtime circuit configuration parameters — the `circuit-params`
+        feature's `Circuit::Params` (circuit.rs:250-262).  Returning a
+        non-None value routes configuration through
+        `configure_with_params`."""
+        return None
+
+    def configure_with_params(self, meta: ConstraintSystem, params):
+        """circuit.rs:264-274: default ignores the params and calls plain
+        `configure`, so circuits without runtime parameters need nothing."""
+        return self.configure(meta)
+
     def configure(self, meta: ConstraintSystem):
         raise NotImplementedError
 
     def synthesize(self, config, layouter: Layouter):
         raise NotImplementedError
+
+
+def configure_circuit(circuit: "Circuit", cs: ConstraintSystem):
+    """The single configuration entry point: uses the circuit's runtime
+    params when it provides them (`circuit-params` seam, circuit.rs:247-274)
+    and plain `configure` otherwise."""
+    params = circuit.params()
+    if params is not None:
+        return circuit.configure_with_params(cs, params)
+    return circuit.configure(cs)
 
 
 # ----------------------------------------------------------------------
@@ -537,7 +559,7 @@ def compile_circuit(F, k: int, circuit: Circuit,
     (halo2_proofs/src/plonk/keygen.rs:30-52).
     """
     cs = ConstraintSystem()
-    config = circuit.configure(cs)
+    config = configure_circuit(circuit, cs)
     n = 1 << k
     if n < cs.minimum_rows():
         raise NotEnoughRowsAvailable(k)

@@ -133,7 +133,15 @@ def _base_ntt(F: Field, x, table, log_m: int):
 
 
 class FusedNTT:
-    """Cached tables + four-step transform for one (field, n, omega)."""
+    """Cached tables + four-step transform for one (field, n, omega).
+
+    The twiddle tables are passed to the jitted transform as ARGUMENTS, not
+    closed-over constants: a captured device array is embedded into the
+    MLIR module at every lowering, which (a) fetches the array to the host
+    — the top-level mid table at 2^21 is 134MB, minutes through the
+    remote-TPU tunnel — and (b) bloats the HLO so the persistent compile
+    cache stores giant entries keyed per-constant.  As parameters the
+    tables stay device-resident and lowering is instant."""
 
     def __init__(self, F: Field, log_n: int, omega_int: int):
         assert pow(omega_int, 1 << log_n, F.p) == 1
@@ -143,12 +151,13 @@ class FusedNTT:
         self.omega_int = omega_int
         self.omega_inv_int = pow(omega_int, F.p - 2, F.p)
         self.n_inv = F.encode_int(pow(self.n, F.p - 2, F.p))
-        self._tables: dict = {}
+        self._plan_info: dict = {}     # log_m -> ("base",) | ("split",l1,l2)
+        self._arrays: dict = {}        # str key -> device array (jit args)
         self._plan(log_n)
 
     def _plan(self, log_m: int):
         """Precompute tables for every recursion level."""
-        if log_m in self._tables:
+        if log_m in self._plan_info:
             return
         if log_m <= LOG_MAX_BASE:
             half = max(1 << (log_m - 1), 1)
@@ -162,10 +171,11 @@ class FusedNTT:
                     h = 1 << (s - 1)
                     stride = (1 << log_m) >> s
                     stage[s - 1, :h] = ptab[::stride][:h]
-                self._tables[(log_m, inv, "base")] = jnp.asarray(
+                self._arrays[f"{log_m}:{int(inv)}:base"] = jnp.asarray(
                     np.moveaxis(stage, -1, 0))             # (L, log_m, half)
-            self._tables[log_m] = ("base",)
-            self._tables[(log_m, "rev")] = jnp.asarray(bit_reverse_indices(log_m))
+            self._plan_info[log_m] = ("base",)
+            self._arrays[f"{log_m}:rev"] = jnp.asarray(
+                bit_reverse_indices(log_m))
             return
         l1 = min(LOG_MAX_BASE, (log_m + 1) // 2)
         l2 = log_m - l1
@@ -181,36 +191,36 @@ class FusedNTT:
                     * np.arange(n2, dtype=np.int64)[None, :]) % (1 << log_m)
             tw = jnp.take(full, jnp.asarray(expo.reshape(-1), jnp.int32),
                           axis=0).reshape(n1, n2, NLIMBS)
-            self._tables[(log_m, inv, "mid")] = jnp.moveaxis(tw, -1, 0)
-        self._tables[log_m] = ("split", l1, l2)
+            self._arrays[f"{log_m}:{int(inv)}:mid"] = jnp.moveaxis(tw, -1, 0)
+        self._plan_info[log_m] = ("split", l1, l2)
         self._plan(l1)
         self._plan(l2)
 
-    def _ntt_mid(self, x, log_m: int, inv: bool):
+    def _ntt_mid(self, x, log_m: int, inv: bool, arrays):
         """NTT along axis 1 of (NLIMBS, m, B)."""
         F = self.F
-        plan = self._tables[log_m]
+        plan = self._plan_info[log_m]
         if plan[0] == "base":
-            rev = self._tables[(log_m, "rev")]
+            rev = arrays[f"{log_m}:rev"]
             x = jnp.take(x, rev, axis=1)
-            return _base_ntt(F, x, self._tables[(log_m, inv, "base")], log_m)
+            return _base_ntt(F, x, arrays[f"{log_m}:{int(inv)}:base"], log_m)
         _, l1, l2 = plan
         n1, n2 = 1 << l1, 1 << l2
         B = x.shape[2]
         x = x.reshape(NLIMBS, n1, n2 * B)
-        x = self._ntt_mid(x, l1, inv)                     # over i1
+        x = self._ntt_mid(x, l1, inv, arrays)             # over i1
         x = x.reshape(NLIMBS, n1, n2, B)
-        tw = self._tables[(log_m, inv, "mid")]            # (L, n1, n2)
+        tw = arrays[f"{log_m}:{int(inv)}:mid"]            # (L, n1, n2)
         x = F.mul(jnp.moveaxis(x, 0, -1),
                   jnp.moveaxis(tw, 0, -1)[..., None, :])
         x = jnp.moveaxis(x, -1, 0)
         x = jnp.swapaxes(x, 1, 2)                         # (L, n2, n1, B)
         x = x.reshape(NLIMBS, n2, n1 * B)
-        x = self._ntt_mid(x, l2, inv)                     # over i2
+        x = self._ntt_mid(x, l2, inv, arrays)             # over i2
         return x.reshape(NLIMBS, n2 * n1, B)              # k2*n1 + k1 = k
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
-    def _transform(self, a, inv: bool):
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _transform_jit(self, inv: bool, a, arrays, n_inv):
         # jitted end-to-end (per input shape): the mid twiddles, transposes
         # and base kernels fuse into one executable — the eager version paid
         # ~30 dispatch round-trips per transform, which dominated wall time
@@ -223,14 +233,24 @@ class FusedNTT:
             B *= d
         x = a.reshape(B, n, NLIMBS)
         x = jnp.transpose(x, (2, 1, 0))                    # (L, n, B)
-        x = self._ntt_mid(x, self.log_n, inv)
+        x = self._ntt_mid(x, self.log_n, inv, arrays)
         x = jnp.transpose(x, (2, 1, 0)).reshape(batch + (n, NLIMBS))
         if inv:
-            x = F.mul(x, self.n_inv)
+            x = F.mul(x, n_inv)
         return x
 
+    def _needed(self, inv: bool) -> dict:
+        """The argument subset for one direction (the other direction's mid
+        tables are as large as the data — don't bind them needlessly)."""
+        key = f"_needed_{int(inv)}"
+        if not hasattr(self, key):
+            setattr(self, key, {
+                k: v for k, v in self._arrays.items()
+                if k.endswith(":rev") or f":{int(inv)}:" in k})
+        return getattr(self, key)
+
     def forward(self, a):
-        return self._transform(a, False)
+        return self._transform_jit(False, a, self._needed(False), self.n_inv)
 
     def inverse(self, a):
-        return self._transform(a, True)
+        return self._transform_jit(True, a, self._needed(True), self.n_inv)

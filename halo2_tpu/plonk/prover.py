@@ -151,7 +151,8 @@ class Evaluator:
                 value = self._acc((pid, "perm", len(sets)),
                                   lambda: self._build_perm(len(sets)))(
                     value, y, beta, gamma, exts, pk.l0, pk.l_last,
-                    pk.l_active_row, pk.permutation.cosets, *cols)
+                    pk.l_active_row, pk.permutation.cosets, self.ext_points,
+                    *cols)
 
             # ---- lookups, cosets streamed per argument (:486-558)
             for li, (z_poly, a_poly, s_poly) in enumerate(lookups[c]):
@@ -199,7 +200,10 @@ class Evaluator:
         columns = cs.cs.permutation.columns
 
         def acc(value, y, beta, gamma, exts, l0, l_last, l_active,
-                sigma_cosets, fixed, advice, instance):
+                sigma_cosets, ext_points, fixed, advice, instance):
+            # ext_points is an ARGUMENT: closing over the (ext_n, L) device
+            # array would embed 134MB (k=18) into the MLIR module at every
+            # lowering (fetched host-side through the tunnel first)
             kind_map = {ADVICE: advice, FIXED: fixed, INSTANCE: instance}
             # l_0(X) * (1 - z_0(X))
             value = F.add(F.mul(value, y), F.mul(l0, F.sub(one, exts[0])))
@@ -219,7 +223,7 @@ class Evaluator:
                 left = domain.rotate_extended(z_ext, DomRotation(1))
                 right = z_ext
                 delta_pow = pow(F.delta, ci * chunk_len, F.p)
-                cur_delta = F.mul(F.mul(beta, self.ext_points),
+                cur_delta = F.mul(F.mul(beta, ext_points),
                                   F.encode_int(delta_pow))
                 for j, col in enumerate(chunk):
                     vals = kind_map[col.kind][col.index]
@@ -547,28 +551,8 @@ class Prover:
             return F.decode_int(
                 eval_polynomial(F, poly, F.encode_int(point)))
 
-        # [TRANSCRIPT-16] instance evals (QUERY_INSTANCE schemes only)
-        if self.query_instance:
-            for c in range(n_circ):
-                for column, at in cs_back.instance_queries:
-                    ev = evalp(self.instance_polys[c][column.index],
-                               domain.rotate_omega_int(x, at))
-                    t.write_scalar(ev)
-
-        # [TRANSCRIPT-17] advice evals
-        for c in range(n_circ):
-            for column, at in cs_back.advice_queries:
-                ev = evalp(advice_polys[c][column.index],
-                           domain.rotate_omega_int(x, at))
-                t.write_scalar(ev)
-
-        # [TRANSCRIPT-18] fixed evals
-        for column, at in cs_back.fixed_queries:
-            ev = evalp(pk.fixed_polys[column.index],
-                       domain.rotate_omega_int(x, at))
-            t.write_scalar(ev)
-
-        # [TRANSCRIPT-19] vanishing: fold h pieces by xn, eval random poly
+        # [TRANSCRIPT-19] vanishing: fold h pieces by xn (the fold itself —
+        # its eval is batched with the rest below)
         h_poly = None
         h_blind = 0
         for piece, blind in zip(reversed(h_pieces), reversed(h_blinds)):
@@ -582,39 +566,65 @@ class Prover:
         import os as _os
         if _os.environ.get("HALO2_TPU_DEBUG"):
             print(f"[dbg prover] x={x:#x} h_poly(x)={evalp(h_poly, x):#x}")
-        t.write_scalar(evalp(random_poly, x))
 
-        # [TRANSCRIPT-20] sigma evals
-        m = len(cs.permutation.columns)
-        for j in range(m):
-            t.write_scalar(evalp(pk.permutation.polys[j], x))
-
-        # [TRANSCRIPT-21] permutation z evals
+        # [TRANSCRIPT-16..23] opening evaluations.  All opened polys are
+        # length-n coefficient vectors; the requests are collected in exact
+        # transcript order, grouped by point, and each distinct point costs
+        # ONE fused device dispatch + host fetch (eval_polys_at_points) —
+        # previously one Horner + fetch per query, ~30-60 round-trips
+        # through the ~30ms tunnel (round-2 VERDICT weak #8; reference
+        # parallel Horner: arithmetic.rs:57-82).
+        from ..poly.arith import eval_polys_at_points
         x_next = domain.rotate_omega_int(x, Rotation(1))
         x_last = domain.rotate_omega_int(x, Rotation(-(bf + 1)))
+        x_prev = domain.rotate_omega_int(x, Rotation(-1))
+        m = len(cs.permutation.columns)
+        reqs = []
+
+        # [TRANSCRIPT-16] instance evals (QUERY_INSTANCE schemes only)
+        if self.query_instance:
+            for c in range(n_circ):
+                for column, at in cs_back.instance_queries:
+                    reqs.append((self.instance_polys[c][column.index],
+                                 domain.rotate_omega_int(x, at)))
+        # [TRANSCRIPT-17] advice evals
+        for c in range(n_circ):
+            for column, at in cs_back.advice_queries:
+                reqs.append((advice_polys[c][column.index],
+                             domain.rotate_omega_int(x, at)))
+        # [TRANSCRIPT-18] fixed evals
+        for column, at in cs_back.fixed_queries:
+            reqs.append((pk.fixed_polys[column.index],
+                         domain.rotate_omega_int(x, at)))
+        # [TRANSCRIPT-19] random poly eval
+        reqs.append((random_poly, x))
+        # [TRANSCRIPT-20] sigma evals
+        for j in range(m):
+            reqs.append((pk.permutation.polys[j], x))
+        # [TRANSCRIPT-21] permutation z evals
         for c in range(n_circ):
             sets = permutations_z[c]
             for si, s in enumerate(sets):
-                t.write_scalar(evalp(s["poly"], x))
-                t.write_scalar(evalp(s["poly"], x_next))
+                reqs.append((s["poly"], x))
+                reqs.append((s["poly"], x_next))
                 if si < len(sets) - 1:
-                    t.write_scalar(evalp(s["poly"], x_last))
-
+                    reqs.append((s["poly"], x_last))
         # [TRANSCRIPT-22] lookup evals
-        x_prev = domain.rotate_omega_int(x, Rotation(-1))
         for c in range(n_circ):
             for lk in lookups_committed[c]:
-                t.write_scalar(evalp(lk["product_poly"], x))
-                t.write_scalar(evalp(lk["product_poly"], x_next))
-                t.write_scalar(evalp(lk["permuted_input_poly"], x))
-                t.write_scalar(evalp(lk["permuted_input_poly"], x_prev))
-                t.write_scalar(evalp(lk["permuted_table_poly"], x))
-
+                reqs.append((lk["product_poly"], x))
+                reqs.append((lk["product_poly"], x_next))
+                reqs.append((lk["permuted_input_poly"], x))
+                reqs.append((lk["permuted_input_poly"], x_prev))
+                reqs.append((lk["permuted_table_poly"], x))
         # [TRANSCRIPT-23] shuffle evals
         for c in range(n_circ):
             for sh in shuffles_committed[c]:
-                t.write_scalar(evalp(sh["product_poly"], x))
-                t.write_scalar(evalp(sh["product_poly"], x_next))
+                reqs.append((sh["product_poly"], x))
+                reqs.append((sh["product_poly"], x_next))
+
+        for v in eval_polys_at_points(F, reqs):
+            t.write_scalar(v)
 
         self._tick('evals [T15-23]')
         # 13. assemble prover queries (prover.rs:840-889)

@@ -103,31 +103,33 @@ def test_sharded_prefix_product(mesh):
 # the real prover on the mesh (VERDICT round-1 item 2)
 # ----------------------------------------------------------------------
 
-def test_full_prover_on_mesh_bit_identical(mesh):
+def test_full_prover_on_mesh_bit_identical(tmp_path):
     """`create_proof` with a meshed PlonkEngine (sharded descriptor MSMs,
     distributed NTT transforms, sharded grand-product scans) must produce
-    BIT-IDENTICAL proof bytes to the single-chip path, and verify."""
-    from halo2_tpu.api import keygen, create_proof, verify
-    from halo2_tpu.commit.ipa import ParamsIPA
-    from halo2_tpu.compat.plonk_api import plonk_api_instance
-    from halo2_tpu.engine import PlonkEngineConfig, TpuMsmEngine
+    BIT-IDENTICAL proof bytes to the single-chip path, and verify.
+
+    Each mode runs in its own subprocess (tests/_dist_prover_child.py):
+    XLA:CPU segfaults deterministically once one process accumulates the
+    JIT executables of BOTH the single-chip and meshed provers (round-2
+    VERDICT weak #6; same executable-accumulation issue conftest.py
+    documents)."""
+    import os
+    import subprocess
+    import sys
 
     K = 6  # smallest k whose base/extended four-step splits fit 8 devices
-    F = PASTA_FP
-    circuit, instances = plonk_api_instance(F)
+    child = os.path.join(os.path.dirname(__file__), "_dist_prover_child.py")
+    outs = {}
+    for mode in ("single", "mesh"):
+        out = tmp_path / f"{mode}.txt"
+        proc = subprocess.run(
+            [sys.executable, child, mode, str(K), str(out)],
+            capture_output=True, timeout=1200)
+        assert proc.returncode == 0, \
+            f"{mode} child failed:\n{proc.stderr.decode()[-2000:]}"
+        outs[mode] = out.read_text().splitlines()
 
-    params1 = ParamsIPA.new(VESTA, K)
-    pk1 = keygen(F, params1, K, circuit)
-    proof1 = create_proof(params1, pk1, [circuit], [instances],
-                          random.Random(7))
-    assert verify(params1, pk1.vk, proof1, [instances])
-
-    params2 = ParamsIPA.new(VESTA, K)   # fresh object (no engine installed)
-    engine = PlonkEngineConfig.set_msm(TpuMsmEngine(mesh=mesh), mesh=mesh)
-    pk2 = keygen(F, params2, K, circuit, engine=engine)
-    assert pk2.vk.transcript_repr == pk1.vk.transcript_repr
-    proof2 = create_proof(params2, pk2, [circuit], [instances],
-                          random.Random(7), engine=engine)
-
+    vk1, proof1 = outs["single"]
+    vk2, proof2 = outs["mesh"]
+    assert vk2 == vk1, "meshed keygen diverged from single-chip vk"
     assert proof2 == proof1, "meshed prover diverged from single-chip bytes"
-    assert verify(params1, pk2.vk, proof2, [instances])

@@ -499,6 +499,30 @@ def sort_perm(keys):
     return jax.lax.sort([keys, jnp.arange(n, dtype=jnp.int32)], num_keys=1)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def packed_digits(curve: Curve, scalars_mont, c: int):
+    """(n, L) scalars -> (n_windows, n) int32 packed signed digits
+    (|d|*2 + sign), the key stream for `msm_packed_rows`."""
+    keys, signs = _signed_digits(curve.Fr, scalars_mont, c)
+    return keys * 2 + signs.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def msm_packed_rows(curve: Curve, packed_keys, padded_rows, c: int,
+                    block: int = 16):
+    """One sort + segmented-scan reduction over an arbitrary slab of
+    (key, base-row) pairs sharing the 2^(c-1)+1 bucket space.  The window
+    factor is baked into the rows, so ANY subset of windows reduces
+    independently and partial results point-add — the seam that lets
+    `CachedMSM` chunk its dispatch at k>=20, where the full 21M-row sort +
+    gather working set would not fit HBM alongside the prover state."""
+    keys_s, perm = sort_perm(packed_keys.reshape(-1))
+    xy, inf_s = unpack_affine_rows(jnp.take(padded_rows, perm, axis=0))
+    nb = (1 << (c - 1)) + 1
+    buckets = bucket_sums(curve, keys_s, xy, inf_s, nb, block, packed=True)
+    return weighted_bucket_fold(curve, buckets)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def msm_windowed_cached(curve: Curve, scalars_mont, padded_rows, c: int = 13,
                         block: int = 16):

@@ -88,24 +88,61 @@ class CachedMSM:
     baked into the bases, so every MSM is one sort + one segmented scan
     over a single 2^c-bucket space.  Bases live as tile-aligned padded
     rows (bucket_scan.pad_width) so the by-digit gather moves whole
-    128-lane tiles."""
+    128-lane tiles.
+
+    When n_windows*n exceeds `max_rows` (default 2^23), the dispatch is
+    CHUNKED over window groups: each group is an independent sort + scan
+    over the shared bucket space and the partial sums point-add.  This
+    bounds the sort/gather transient (~rows x 3 x row_bytes) so k=20-22
+    commitments coexist with the prover's extended-domain state in HBM —
+    and each chunk's rows can use the faster 64/128-lane padding that a
+    monolithic 21M-row table cannot (pad_width's 2 GiB ceiling)."""
 
     def __init__(self, curve: Curve, points, c: int | None = None,
-                 block: int = 16):
+                 block: int = 16, max_rows: int = 1 << 23):
+        from .bucket_scan import n_windows_for
         self.curve = curve
         self.c = c = auto_c(points.shape[0]) if c is None else c
         self.block = block
-        self.n = points.shape[0]
-        wb = window_bases(curve, points, c)                # (w, n, 3, L)
-        flat = wb.reshape(-1, 3, NLIMBS)
-        aff = curve.batch_normalize(flat)                  # (w*n, 2+, L)
-        inf = curve.is_identity(flat)
-        self.wbases = pack_affine_rows(
-            curve, aff[:, :2, :], inf, pad_width(flat.shape[0]))
+        self.n = n = points.shape[0]
+        nw = n_windows_for(curve.Fr, c)
+        self.n_windows = nw
+        wc = max(1, min(nw, max_rows // max(n, 1)))
+        self.window_chunk = wc
+        self.bounds = [(w0, min(w0 + wc, nw)) for w0 in range(0, nw, wc)]
+        wb = window_bases(curve, points, c)                # (nw, n, 3, L)
+        self.wchunks = []
+        for w0, w1 in self.bounds:
+            flat = wb[w0:w1].reshape(-1, 3, NLIMBS)
+            aff = curve.batch_normalize(flat)              # (m, 2+, L)
+            inf = curve.is_identity(flat)
+            self.wchunks.append(pack_affine_rows(
+                curve, aff[:, :2, :], inf, pad_width(flat.shape[0])))
+        del wb
+
+    @property
+    def wbases(self):
+        """Back-compat view for introspection/benchmarks."""
+        return self.wchunks[0]
 
     def __call__(self, scalars_mont):
-        return msm_windowed_cached(
-            self.curve, scalars_mont, self.wbases, self.c, self.block)
+        from .bucket_scan import msm_packed_rows, packed_digits
+        n = scalars_mont.shape[0]
+        if len(self.bounds) == 1 and n == self.n:
+            return msm_windowed_cached(
+                self.curve, scalars_mont, self.wchunks[0], self.c,
+                self.block)
+        packed = packed_digits(self.curve, scalars_mont, self.c)
+        acc = None
+        for (w0, w1), rows in zip(self.bounds, self.wchunks):
+            if n != self.n:
+                pad = rows.shape[1]
+                rows = rows.reshape(w1 - w0, self.n, pad)[:, :n
+                                                          ].reshape(-1, pad)
+            part = msm_packed_rows(self.curve, packed[w0:w1], rows,
+                                   self.c, self.block)
+            acc = part if acc is None else self.curve.add(acc, part)
+        return acc
 
 
 def msm(curve: Curve, scalars_mont, points, c: int | None = None,

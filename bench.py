@@ -160,6 +160,8 @@ def stage_micro():
     ntt_k = 18
     ntt = get_ntt(F, ntt_k)
     a = rand_scalars(99)[: 1 << ntt_k]
+    _fetch(ntt.forward(a)[0])   # eager warm-up: builds the twiddle plan
+    # OUTSIDE the chained jit below (device table build, no trace ambient)
 
     ntt_reps = 32
 

@@ -5,14 +5,14 @@ from .ipa import (
 )
 from .ipa_multiopen import ProverIPA, VerifierIPA
 from .kzg import (
-    ParamsKZG, MSMKZG, DualMSM, GuardKZG, SingleStrategyKZG,
+    ParamsKZG, MSMKZG, PreMSM, DualMSM, GuardKZG, SingleStrategyKZG,
     AccumulatorStrategyKZG,
 )
 from .gwc import ProverGWC, VerifierGWC
 from .shplonk import ProverSHPLONK, VerifierSHPLONK
 
 __all__ = [
-    "ParamsKZG", "MSMKZG", "DualMSM", "GuardKZG", "SingleStrategyKZG",
+    "ParamsKZG", "MSMKZG", "PreMSM", "DualMSM", "GuardKZG", "SingleStrategyKZG",
     "AccumulatorStrategyKZG", "ProverGWC", "VerifierGWC",
     "ProverSHPLONK", "VerifierSHPLONK",
     "Blind", "PolyRef", "ProverQuery", "VerifierQuery", "new_rng",

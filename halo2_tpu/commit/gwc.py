@@ -11,9 +11,22 @@ from typing import List
 
 import jax.numpy as jnp
 
-from ..poly.arith import kate_division
+import functools
+
+import jax
+
+from ..poly.arith import _kate_division_jit, tree_sum
 from .base import Blind, ProverQuery, VerifierQuery
 from .kzg import ParamsKZG, MSMKZG, DualMSM, GuardKZG
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fold_kate(F, stack, vpows, z):
+    """W_z numerator fold + division by (X - z) in one dispatch:
+    (sum_i v^i p_i) / (X - z)  — gwc/prover.rs:58-90 (the eval subtraction
+    is unnecessary: kate division drops exactly that remainder)."""
+    batch = tree_sum(F, F.mul(stack, vpows[:, None, :]), axis=0)
+    return _kate_division_jit(F, batch, z)
 
 
 def _group_by_point(queries):
@@ -35,18 +48,19 @@ class ProverGWC:
         self.params = params
 
     def create_proof(self, rng, transcript, queries: List[ProverQuery]):
+        from ..poly.poly import COEFF, unwrap as unwrap_basis
         F = self.params.curve.Fr
         p = F.p
         v = transcript.squeeze_challenge()
         for z, qs in _group_by_point(queries):
-            poly_batch = None
-            power = 1
-            for q in qs:
-                scaled = F.mul(q.poly_ref.poly, F.encode_int(power))
-                poly_batch = scaled if poly_batch is None else \
-                    F.add(poly_batch, scaled)
-                power = power * v % p
-            witness = kate_division(F, poly_batch, F.encode_int(z))
+            vpows = [1] * len(qs)
+            for i in range(1, len(qs)):
+                vpows[i] = vpows[i - 1] * v % p
+            stack = jnp.stack(
+                [unwrap_basis(q.poly_ref.poly, COEFF, "ProverGWC")
+                 for q in qs], axis=0)
+            witness = _fold_kate(F, stack, F.encode_ints(vpows),
+                                 F.encode_int(z))
             transcript.write_point(self.params.commit_affine(witness))
 
 

@@ -244,6 +244,37 @@ class MSMKZG:
         return curve.to_affine_ints(out[None])[0]
 
 
+class PreMSM:
+    """Projective collector (kzg/msm.rs:96-137): accumulates (scalar,
+    projective DEVICE point) terms and defers the projective->affine
+    conversion, so all collected points share ONE batched normalization
+    (a single batched field inversion) and one host fetch, instead of a
+    to_affine_ints round-trip per commitment."""
+
+    def __init__(self, params: ParamsKZG):
+        self.params = params
+        self.scalars: List[int] = []
+        self.points = []            # projective (3, NLIMBS) device arrays
+
+    def append_term(self, scalar: int, point_proj):
+        self.scalars.append(scalar % self.params.curve.Fr.p)
+        self.points.append(point_proj)
+
+    def add_msm(self, other: "PreMSM"):
+        self.scalars.extend(other.scalars)
+        self.points.extend(other.points)
+
+    def to_msm(self) -> "MSMKZG":
+        """normalize() analog (kzg/msm.rs:120-136)."""
+        m = MSMKZG(self.params)
+        if self.points:
+            aff = self.params.curve.to_affine_ints(
+                jnp.stack(self.points, axis=0))
+            m.scalars = list(self.scalars)
+            m.bases = list(aff)
+        return m
+
+
 class DualMSM:
     """Two-channel accumulator; check is e(left, sG2) e(right, -G2) == 1
     (kzg/msm.rs:151-207)."""

@@ -11,13 +11,15 @@ order of sets; super_point_set sorted).
 
 from __future__ import annotations
 
+import functools
 from typing import List
 
+import jax
 import jax.numpy as jnp
 
 from ..poly.arith import (
-    kate_division, eval_polynomial, lagrange_interpolate_int,
-    eval_polynomial_int,
+    lagrange_interpolate_int, eval_polynomial_int, tree_sum,
+    _kate_division_jit,
 )
 from .base import Blind, ProverQuery, VerifierQuery
 from .kzg import ParamsKZG, MSMKZG, DualMSM, GuardKZG
@@ -69,6 +71,45 @@ def _eval_vanishing(p: int, roots: List[int], u: int) -> int:
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _fold_sub_kate(F, n_points, stack, ypows, r_fold, points):
+    """One rotation set, one dispatch: fold the set's polynomials by powers
+    of y, subtract the (y-folded, low-degree) interpolant, and divide by
+    every (X - point) of the set.
+
+    stack (m, n, L) coeff polys; ypows (m, L) = y^j in Montgomery form;
+    r_fold (n_points, L) low-degree coeffs of sum_j y^j r_ij(X);
+    points (n_points, L).  Returns (fold, quotient padded back to n) — the
+    fold is reused by the linearization phase (shplonk/prover.rs:142-217
+    computes the same sum twice; here it is computed once)."""
+    n = stack.shape[-2]
+    fold = tree_sum(F, F.mul(stack, ypows[:, None, :]), axis=0)
+    r_pad = jnp.zeros_like(fold).at[:n_points].set(r_fold)
+    div = F.sub(fold, r_pad)
+    for i in range(n_points):          # static unroll (sets have <=3 points)
+        div = _kate_division_jit(F, div, points[i])
+    div = jnp.pad(div, [(0, n - div.shape[-2]), (0, 0)])
+    return fold, div
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _weighted_sum(F, stack, weights):
+    """sum_i weights[i] * stack[i] over axis 0 — (s, n, L) x (s, L)."""
+    return tree_sum(F, F.mul(stack, weights[:, None, :]), axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _linearization(F, folds, weights, const_term, h_x, zt, u, z0_inv):
+    """l(X) = sum_i w_i fold_i - (sum_i w_i c_i) e_0 - zt * h(X), then
+    h2 = l / (X - u) * z0_inv — the whole post-u tail in one dispatch
+    (shplonk/prover.rs:220-304)."""
+    l_x = _weighted_sum(F, folds, weights)
+    l_x = F.sub(l_x, jnp.zeros_like(l_x).at[:1].set(const_term[None]))
+    l_x = F.sub(l_x, F.mul(h_x, zt))
+    h2 = _kate_division_jit(F, l_x, u)
+    return F.mul(h2, z0_inv)
+
+
 class ProverSHPLONK:
     QUERY_INSTANCE = False
 
@@ -86,82 +127,82 @@ class ProverSHPLONK:
         rotation_sets, super_point_set = construct_intermediate_sets(
             queries, key_fn=lambda q: id(q.poly_ref), eval_fn=lambda q: None)
 
-        # low-degree equivalents r_ij(X) via host interpolation over the
-        # evaluations at each set's points.  ALL (poly, point) evals run
-        # through the point-grouped batch evaluator: one fused dispatch +
-        # fetch per distinct point instead of one per pair (the per-pair
-        # Horner round-trips were a whole step of the k=18 table —
-        # round-2 VERDICT weak #8; reference arithmetic.rs:57-82).
+        # Evaluations of every (poly, point) pair via the point-grouped
+        # batch evaluator: one fused dispatch + fetch per distinct point
+        # (round-2 VERDICT weak #8; reference arithmetic.rs:57-82).
         from ..poly.arith import eval_polys_at_points
+        from ..poly.poly import COEFF, unwrap as unwrap_basis
         all_reqs = []
         for payloads, points, _ in rotation_sets:
             for q in payloads:
                 for pt in points:
                     all_reqs.append((q.poly_ref.poly, pt))
         vals = iter(eval_polys_at_points(F, all_reqs))
-        extended = []
+        set_evals = []          # per set: evals[j][pi] host ints
         for payloads, points, _ in rotation_sets:
-            comm_ext = []
-            for q in payloads:
-                poly = q.poly_ref.poly
-                evs = [next(vals) for _ in points]
-                r_coeffs = lagrange_interpolate_int(p, points, evs)
-                comm_ext.append((poly, r_coeffs))
-            extended.append((comm_ext, points))
+            set_evals.append([[next(vals) for _ in points] for _ in payloads])
 
         v = transcript.squeeze_challenge()
 
-        # h_x = sum_i v^i * ( sum_j y^j (P_ij - R_ij) ) / Z_i
-        h_x = None
-        power_v = 1
-        for comm_ext, points in extended:
-            n_x = None
-            power_y = 1
-            for poly, r_coeffs in comm_ext:
-                r_pad = F.encode_ints(
-                    r_coeffs + [0] * (poly.shape[0] - len(r_coeffs)))
-                numer = F.sub(poly, r_pad)
-                term = F.mul(numer, F.encode_int(power_y))
-                n_x = term if n_x is None else F.add(n_x, term)
-                power_y = power_y * y % p
-            div = n_x
-            for pt in points:
-                div = kate_division(F, div, F.encode_int(pt))
-            div = jnp.pad(div, [(0, n - div.shape[0]), (0, 0)])
-            term = F.mul(div, F.encode_int(power_v))
-            h_x = term if h_x is None else F.add(h_x, term)
-            power_v = power_v * v % p
+        # Per rotation set i (one fused dispatch each):
+        #   fold_i = sum_j y^j P_ij
+        #   K_i    = (fold_i - R_i) / prod(X - pt),  R_i = interp of the
+        #            y-folded evals (interpolation is linear in the evals,
+        #            so folding the tiny eval lists replaces the reference's
+        #            per-poly interpolation — shplonk/prover.rs:40-54)
+        # then h = sum_i v^i K_i in one weighted tree-sum.
+        folds, kates, r_folds = [], [], []
+        for (payloads, points, _), evals in zip(rotation_sets, set_evals):
+            m = len(payloads)
+            ypows_int = [1] * m
+            for j in range(1, m):
+                ypows_int[j] = ypows_int[j - 1] * y % p
+            fold_evals = [sum(yj * evals[j][pi] for j, yj in
+                              enumerate(ypows_int)) % p
+                          for pi in range(len(points))]
+            r_fold = lagrange_interpolate_int(p, points, fold_evals)
+            r_folds.append(r_fold)
+            stack = jnp.stack(
+                [unwrap_basis(q.poly_ref.poly, COEFF, "ProverSHPLONK")
+                 for q in payloads], axis=0)
+            fold, kate = _fold_sub_kate(
+                F, len(points), stack, F.encode_ints(ypows_int),
+                F.encode_ints(r_fold), F.encode_ints(list(points)))
+            folds.append(fold)
+            kates.append(kate)
+
+        n_sets = len(rotation_sets)
+        vpows = [1] * n_sets
+        for i in range(1, n_sets):
+            vpows[i] = vpows[i - 1] * v % p
+        h_x = _weighted_sum(F, jnp.stack(kates, axis=0),
+                            F.encode_ints(vpows))
 
         transcript.write_point(params.commit_affine(h_x))
         u = transcript.squeeze_challenge()
 
-        # linearization l_x = sum_i v^i z_diff_i sum_j y^j (P_ij - r_ij(u))
-        l_x = None
+        # Linearization, fused into one dispatch (_linearization):
+        #   l = sum_i (v^i z_diff_i) fold_i - (sum_i v^i z_diff_i c_i) e_0
+        #       - Z_T(u) h,   c_i = (y-folded r_i)(u)
+        #   h2 = l / (X - u) * z_diff_0^{-1}
+        weights, const_acc = [], 0
         z_diffs = []
-        power_v = 1
-        for comm_ext, points in extended:
+        for (payloads, points, _), r_fold, pv in zip(
+                rotation_sets, r_folds, vpows):
             diffs = [pt for pt in super_point_set if pt not in points]
             z_i = _eval_vanishing(p, diffs, u)
             z_diffs.append(z_i)
-            inner = None
-            power_y = 1
-            for poly, r_coeffs in comm_ext:
-                r_eval = eval_polynomial_int(p, r_coeffs, u)
-                term = F.sub(poly, F.encode_ints(
-                    [r_eval] + [0] * (poly.shape[0] - 1)))
-                term = F.mul(term, F.encode_int(power_y))
-                inner = term if inner is None else F.add(inner, term)
-                power_y = power_y * y % p
-            term = F.mul(inner, F.encode_int(z_i * power_v % p))
-            l_x = term if l_x is None else F.add(l_x, term)
-            power_v = power_v * v % p
+            w = pv * z_i % p
+            weights.append(w)
+            const_acc = (const_acc + w * eval_polynomial_int(p, r_fold, u)) % p
 
         zt_eval = _eval_vanishing(p, super_point_set, u)
-        l_x = F.sub(l_x, F.mul(h_x, F.encode_int(zt_eval)))
-
-        h2 = kate_division(F, l_x, F.encode_int(u))
         z0_diff_inv = pow(z_diffs[0], p - 2, p)
-        h2 = F.mul(h2, F.encode_int(z0_diff_inv))
+        h2 = _linearization(
+            F, jnp.stack(folds, axis=0), F.encode_ints(weights),
+            F.encode_int(const_acc), h_x, F.encode_int(zt_eval),
+            F.encode_int(u), F.encode_int(z0_diff_inv))
+        h2 = jnp.pad(h2, [(0, n - h2.shape[0]), (0, 0)])
         transcript.write_point(params.commit_affine(h2))
 
 

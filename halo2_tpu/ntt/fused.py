@@ -150,7 +150,8 @@ class FusedNTT:
         self.n = 1 << log_n
         self.omega_int = omega_int
         self.omega_inv_int = pow(omega_int, F.p - 2, F.p)
-        self.n_inv = F.encode_int(pow(self.n, F.p - 2, F.p))
+        with jax.ensure_compile_time_eval():
+            self.n_inv = F.encode_int(pow(self.n, F.p - 2, F.p))
         self._plan_info: dict = {}     # log_m -> ("base",) | ("split",l1,l2)
         self._arrays: dict = {}        # str key -> device array (jit args)
         self._plan(log_n)
@@ -171,27 +172,46 @@ class FusedNTT:
                     h = 1 << (s - 1)
                     stride = (1 << log_m) >> s
                     stage[s - 1, :h] = ptab[::stride][:h]
-                self._arrays[f"{log_m}:{int(inv)}:base"] = jnp.asarray(
-                    np.moveaxis(stage, -1, 0))             # (L, log_m, half)
+                with jax.ensure_compile_time_eval():
+                    self._arrays[f"{log_m}:{int(inv)}:base"] = jnp.asarray(
+                        np.moveaxis(stage, -1, 0))         # (L, log_m, half)
             self._plan_info[log_m] = ("base",)
-            self._arrays[f"{log_m}:rev"] = jnp.asarray(
-                bit_reverse_indices(log_m))
+            with jax.ensure_compile_time_eval():
+                self._arrays[f"{log_m}:rev"] = jnp.asarray(
+                    bit_reverse_indices(log_m))
             return
         l1 = min(LOG_MAX_BASE, (log_m + 1) // 2)
         l2 = log_m - l1
         n1, n2 = 1 << l1, 1 << l2
         from .ntt import powers
+        from jax._src import core as _core
+        in_trace = not _core.trace_state_clean()
         for inv in (False, True):
             w = self.omega_inv_int if inv else self.omega_int
             wm = pow(w, self.n >> log_m, self.F.p)
             # mid twiddle w_m^{k1*i2}: gather from the full power table via
-            # exponent (k1*i2 mod m) — one-time device build, cached
-            full = powers(self.F, self.F.encode_int(wm), 1 << log_m)
+            # exponent (k1*i2 mod m) — one-time build, cached.  The tables
+            # must be CONCRETE device arrays (they are jit arguments of the
+            # transform): when the plan is built lazily from inside an
+            # ambient jit trace (e.g. ntt.forward chained in a caller's
+            # fori_loop) the device build would leak tracers, so fall back
+            # to a pure-numpy host build there.
             expo = (np.arange(n1, dtype=np.int64)[:, None]
                     * np.arange(n2, dtype=np.int64)[None, :]) % (1 << log_m)
-            tw = jnp.take(full, jnp.asarray(expo.reshape(-1), jnp.int32),
-                          axis=0).reshape(n1, n2, NLIMBS)
-            self._arrays[f"{log_m}:{int(inv)}:mid"] = jnp.moveaxis(tw, -1, 0)
+            if in_trace:
+                # pure numpy build (device ops would trace); the final
+                # asarray runs under ensure_compile_time_eval so the stored
+                # table is a CONCRETE array, not a trace-scoped constant
+                full = _pow_table_host(self.F, wm, 1 << log_m)   # (m, L)
+                tw_np = full[expo.reshape(-1)].reshape(n1, n2, NLIMBS)
+                with jax.ensure_compile_time_eval():
+                    tw = jnp.asarray(np.moveaxis(tw_np, -1, 0).copy())
+            else:
+                full = powers(self.F, self.F.encode_int(wm), 1 << log_m)
+                tw = jnp.moveaxis(
+                    jnp.take(full, jnp.asarray(expo.reshape(-1), jnp.int32),
+                             axis=0).reshape(n1, n2, NLIMBS), -1, 0)
+            self._arrays[f"{log_m}:{int(inv)}:mid"] = tw
         self._plan_info[log_m] = ("split", l1, l2)
         self._plan(l1)
         self._plan(l2)

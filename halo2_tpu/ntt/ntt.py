@@ -62,10 +62,11 @@ class NTT:
         # half-size power tables, built on device (only for the XLA
         # stage-per-op path; n >= 2^10 uses the fused four-step tables)
         if log_n < 10:
-            self.tw_fwd = powers(F, F.encode_int(omega_int),
-                                 max(self.n // 2, 1))
-            self.tw_inv = powers(F, F.encode_int(self.omega_inv_int),
-                                 max(self.n // 2, 1))
+            with jax.ensure_compile_time_eval():
+                self.tw_fwd = powers(F, F.encode_int(omega_int),
+                                     max(self.n // 2, 1))
+                self.tw_inv = powers(F, F.encode_int(self.omega_inv_int),
+                                     max(self.n // 2, 1))
         self.n_inv = F.encode_int(self.n_inv_int)
         self._rev = jnp.asarray(bit_reverse_indices(log_n))
 

@@ -1,0 +1,115 @@
+"""Per-component MSM wall-time breakdown on the live device.
+
+The cached fixed-base MSM (msm_windowed_cached) is sort -> gather -> scan
+-> tails -> weighted fold.  This tool times each component in isolation
+(chained on-device so elapsed >> tunnel rtt) to show where the cycles go —
+the evidence behind the roofline-fraction analysis in docs/msm.md.
+
+Usage: python tools/msm_profile.py [k]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _fetch(x):
+    return np.asarray(x)
+
+
+def timed(name, fn, *args, reps=5, rtt=0.03):
+    out = fn(*args)
+    _fetch(jax.tree_util.tree_leaves(out)[0])          # compile + first
+    while True:
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(*args)
+        _fetch(jax.tree_util.tree_leaves(out)[0])
+        el = time.time() - t0
+        if el > max(0.5, 10 * rtt):
+            break
+        reps *= 4
+    per = (el - rtt) / reps
+    print(f"{name:28s} {per*1e3:9.2f} ms   ({reps} reps, {el:.2f}s)")
+    return out, per
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/halo2_tpu/xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from halo2_tpu.curves import BN254_G1 as curve
+    from halo2_tpu.msm.msm import CachedMSM, auto_c
+    from halo2_tpu.msm import bucket_scan as bs
+
+    F = curve.Fr
+    n = 1 << k
+    pts_cache = os.path.expanduser(f"~/.cache/halo2_tpu/bench-points-{k}.npy")
+    if os.path.exists(pts_cache):
+        pts = jnp.asarray(np.load(pts_cache))
+    else:
+        print("no cached points; run bench.py --stage micro first",
+              file=sys.stderr)
+        raise SystemExit(1)
+
+    print(f"k={k} n={n} devices={jax.devices()}")
+    t0 = time.time()
+    engine = CachedMSM(curve, pts)
+    _fetch(engine.wchunks[0][:1, :1])
+    c = engine.c
+    nw = engine.n_windows
+    print(f"window precompute: {time.time()-t0:.1f}s  c={c} nw={nw} "
+          f"chunks={len(engine.bounds)} pad={engine.wchunks[0].shape[1]}")
+
+    scal = F.to_mont(jax.random.randint(
+        jax.random.PRNGKey(7), (n, 16), 0, 1 << 16,
+        dtype=jnp.int32).astype(jnp.uint32))
+    _fetch(scal[0])
+
+    rows = engine.wchunks[0]
+    M = rows.shape[0]
+
+    # full pipeline
+    _, t_full = timed("full cached MSM", engine, scal, reps=3)
+
+    # 1. digit decomposition
+    digits_fn = jax.jit(lambda s: bs.packed_digits(curve, s, c))
+    (packed,), t_dig = timed("packed_digits", lambda s: (digits_fn(s),), scal)
+    flat_keys = packed.reshape(-1)
+
+    # 2. key sort (+iota permutation)
+    sortf = jax.jit(lambda x: bs.sort_perm(x))
+    (keys_s, perm), t_sort = timed("sort_perm (keys+iota)", sortf, flat_keys)
+
+    # 3. row gather by permutation
+    gat = jax.jit(lambda p: jnp.take(rows, p, axis=0))
+    rows_s, t_gather = timed("row gather", gat, perm)
+
+    # 4. segmented scan to bucket sums (includes tails + all levels)
+    xy, inf_s = bs.unpack_affine_rows(rows_s)
+    nb = (1 << (c - 1)) + 1
+    bsum = jax.jit(lambda ks, a, b: bs.bucket_sums(
+        curve, ks, a, b, nb, engine.block, packed=True))
+    buckets, t_scan = timed("bucket_sums (scan+tails)", bsum, keys_s, xy,
+                            inf_s, reps=3)
+
+    # 5. weighted fold
+    wf = jax.jit(lambda b: bs.weighted_bucket_fold(curve, b))
+    _, t_fold = timed("weighted_bucket_fold", wf, buckets)
+
+    parts = t_dig + t_sort + t_gather + t_scan + t_fold
+    print(f"{'sum of parts':28s} {parts*1e3:9.2f} ms  "
+          f"(full {t_full*1e3:.2f} ms)")
+    print(f"points/s (full): {n/t_full:,.0f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,12 @@ def _setup_jax():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/halo2_tpu/xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    if os.environ.get("HALO2_TPU_CACHE_DEBUG"):
+        import logging
+        for mod in ("jax._src.cache_key", "jax._src.lru_cache",
+                    "jax._src.compiler"):
+            logging.getLogger(mod).setLevel(logging.DEBUG)
+        logging.basicConfig(level=logging.INFO)
     return jax
 
 

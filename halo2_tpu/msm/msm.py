@@ -110,15 +110,36 @@ class CachedMSM:
         wc = max(1, min(nw, max_rows // max(n, 1)))
         self.window_chunk = wc
         self.bounds = [(w0, min(w0 + wc, nw)) for w0 in range(0, nw, wc)]
-        wb = window_bases(curve, points, c)                # (nw, n, 3, L)
-        self.wchunks = []
-        for w0, w1 in self.bounds:
-            flat = wb[w0:w1].reshape(-1, 3, NLIMBS)
-            aff = curve.batch_normalize(flat)              # (m, 2+, L)
-            inf = curve.is_identity(flat)
-            self.wchunks.append(pack_affine_rows(
-                curve, aff[:, :2, :], inf, pad_width(flat.shape[0])))
-        del wb
+        # AOT-cached programs (aot.py): the full-size MSM is ~25MB of MLIR
+        # and costs minutes of host tracing per process; the exported
+        # artifacts load in ~0.1s in every later process.  The window-table
+        # build is traced/exported the same way.
+        from ..aot import aot
+        from .bucket_scan import msm_windowed_cached as _mwc
+        from .bucket_scan import msm_packed_rows as _mpr
+        salt = f"{curve.name}-c{c}-b{block}"
+        bounds = self.bounds
+
+        def _build_tables(pts):
+            wb = window_bases(curve, pts, c)               # (nw, n, 3, L)
+            outs = []
+            for w0, w1 in bounds:
+                flat = wb[w0:w1].reshape(-1, 3, NLIMBS)
+                aff = curve.batch_normalize(flat)          # (m, 2+, L)
+                inf = curve.is_identity(flat)
+                outs.append(pack_affine_rows(
+                    curve, aff[:, :2, :], inf, pad_width(flat.shape[0])))
+            return tuple(outs)
+
+        self.wchunks = list(aot(
+            jax.jit(_build_tables), "msm_window_tables",
+            salt + f"-wc{wc}")(points))
+        self._aot_single = aot(
+            jax.jit(lambda s, r: _mwc(curve, s, r, c, block)),
+            "msm_windowed_cached", salt)
+        self._aot_chunk = aot(
+            jax.jit(lambda p, r: _mpr(curve, p, r, c, block)),
+            "msm_packed_rows", salt)
 
     @property
     def wbases(self):
@@ -126,12 +147,10 @@ class CachedMSM:
         return self.wchunks[0]
 
     def __call__(self, scalars_mont):
-        from .bucket_scan import msm_packed_rows, packed_digits
+        from .bucket_scan import packed_digits
         n = scalars_mont.shape[0]
         if len(self.bounds) == 1 and n == self.n:
-            return msm_windowed_cached(
-                self.curve, scalars_mont, self.wchunks[0], self.c,
-                self.block)
+            return self._aot_single(scalars_mont, self.wchunks[0])
         packed = packed_digits(self.curve, scalars_mont, self.c)
         acc = None
         for (w0, w1), rows in zip(self.bounds, self.wchunks):
@@ -139,8 +158,7 @@ class CachedMSM:
                 pad = rows.shape[1]
                 rows = rows.reshape(w1 - w0, self.n, pad)[:, :n
                                                           ].reshape(-1, pad)
-            part = msm_packed_rows(self.curve, packed[w0:w1], rows,
-                                   self.c, self.block)
+            part = self._aot_chunk(packed[w0:w1], rows)
             acc = part if acc is None else self.curve.add(acc, part)
         return acc
 

@@ -269,8 +269,21 @@ class FusedNTT:
                 if k.endswith(":rev") or f":{int(inv)}:" in k})
         return getattr(self, key)
 
+    def _aot(self, inv: bool):
+        """AOT-export wrapper per direction (aot.py): the fused transform is
+        a large trace at big n; fresh processes load the artifact instead."""
+        key = f"_aot_{int(inv)}"
+        if not hasattr(self, key):
+            from ..aot import aot
+            setattr(self, key, aot(
+                jax.jit(lambda a, arrays, n_inv:
+                        self._transform_jit(inv, a, arrays, n_inv)),
+                f"fused_ntt_{'inv' if inv else 'fwd'}",
+                salt=f"{self.F.name}-n{self.n}-w{self.omega_int}"))
+        return getattr(self, key)
+
     def forward(self, a):
-        return self._transform_jit(False, a, self._needed(False), self.n_inv)
+        return self._aot(False)(a, self._needed(False), self.n_inv)
 
     def inverse(self, a):
-        return self._transform_jit(True, a, self._needed(True), self.n_inv)
+        return self._aot(True)(a, self._needed(True), self.n_inv)

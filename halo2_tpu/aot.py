@@ -98,16 +98,16 @@ class AotFunction:
             return cached(*args)
         path = os.path.join(_cache_dir(),
                             f"{self._name.replace('/', '_')}-{key}.jexp")
+        from jax import export as jexport
         if os.path.exists(path):
-            from jax import export as jexport
             with open(path, "rb") as f:
                 exp = jexport.deserialize(f.read())
             call = jax.jit(exp.call)
             self._loaded[key] = call
             return call(*args)
-        out = self._fn(*args)              # pays the trace once
         try:
-            from jax import export as jexport
+            # export FIRST and call through the exported module: one trace
+            # total (export traces+lowers; jit(exp.call) only compiles)
             structs = jax.tree_util.tree_map(
                 lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args)
             exp = jexport.export(self._fn)(*structs)
@@ -115,10 +115,12 @@ class AotFunction:
             with open(tmp, "wb") as f:
                 f.write(exp.serialize())
             os.replace(tmp, path)
+            call = jax.jit(exp.call)
+            self._loaded[key] = call
+            return call(*args)
         except Exception:
-            pass                            # AOT is an optimization only
-        self._loaded[key] = self._fn
-        return out
+            self._loaded[key] = self._fn    # AOT is an optimization only
+            return self._fn(*args)
 
 
 def aot(fn, name: str, salt: str = "") -> AotFunction:

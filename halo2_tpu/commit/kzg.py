@@ -39,14 +39,79 @@ class ParamsKZG:
         self.curve = BN254_G1
         self.k = k
         self.n = 1 << k
-        self.g_aff = g_aff
-        self.g_lagrange_aff = g_lagrange_aff
+        self._g_aff = g_aff
+        self._g_lagrange_aff = g_lagrange_aff
         self.g = self.curve.from_affine_ints(g_aff)
         self.g_lagrange = self.curve.from_affine_ints(g_lagrange_aff)
         self.g2 = g2            # ((x0,x1),(y0,y1)) ints
         self.s_g2 = s_g2
         self.s_secret = s_secret
         self._cached_msm = {}
+
+    # -- affine int lists (lazy when loaded from the npz fast path) ------
+
+    @property
+    def g_aff(self) -> List:
+        if self._g_aff is None:
+            self._g_aff = self.curve.to_affine_ints(self.g)
+        return self._g_aff
+
+    @property
+    def g_lagrange_aff(self) -> List:
+        if self._g_lagrange_aff is None:
+            self._g_lagrange_aff = self.curve.to_affine_ints(self.g_lagrange)
+        return self._g_lagrange_aff
+
+    @classmethod
+    def _from_limb_arrays(cls, k: int, xy, g2, s_g2,
+                          s_secret: Optional[int] = None) -> "ParamsKZG":
+        """xy: (2n, 2, NLIMBS) uint16/uint32 CANONICAL limbs for the x/y of
+        [g | g_lagrange] — the npz fast-load path (no per-point python)."""
+        import numpy as np
+        obj = object.__new__(cls)
+        obj.curve = BN254_G1
+        obj.k = k
+        obj.n = n = 1 << k
+        F = obj.curve.Fq
+        arr = jnp.asarray(np.asarray(xy, dtype=np.uint32))
+        xm = F.to_mont(arr[:, 0])
+        ym = F.to_mont(arr[:, 1])
+        zm = jnp.broadcast_to(F.ones(()), xm.shape)
+        pts = jnp.stack([xm, ym, zm], axis=-2)            # (2n, 3, L)
+        obj.g = pts[:n]
+        obj.g_lagrange = pts[n:]
+        obj._g_aff = None
+        obj._g_lagrange_aff = None
+        obj.g2 = g2
+        obj.s_g2 = s_g2
+        obj.s_secret = s_secret
+        obj._cached_msm = {}
+        return obj
+
+    def _save_npz(self, path: str):
+        import json
+        import numpy as np
+        pts = self.g_aff + self.g_lagrange_aff
+        buf = b"".join(x.to_bytes(32, "little") + y.to_bytes(32, "little")
+                       for (x, y) in pts)
+        xy = np.frombuffer(buf, dtype="<u2").reshape(2 * self.n, 2, NLIMBS)
+        meta = json.dumps({"k": self.k, "g2": self.g2, "s_g2": self.s_g2})
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, xy=xy, meta=np.frombuffer(meta.encode(), np.uint8))
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _load_npz(path: str, s_secret=None) -> "ParamsKZG":
+        import json
+        import numpy as np
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            xy = z["xy"]
+            g2 = tuple(tuple(v) for v in meta["g2"])
+            s_g2 = tuple(tuple(v) for v in meta["s_g2"])
+            return ParamsKZG._from_limb_arrays(
+                meta["k"], xy, g2, s_g2, s_secret=s_secret)
 
     def downsize(self, k: int) -> "ParamsKZG":
         """Truncate to a smaller domain (kzg/commitment.rs:291-299): keep
@@ -111,15 +176,23 @@ class ParamsKZG:
 
     @staticmethod
     def new(k: int, s: Optional[int] = 3141592653589793) -> "ParamsKZG":
-        """Cached deterministic test params (toxic s retained, insecure)."""
+        """Cached deterministic test params (toxic s retained, insecure).
+        Fast path: an .npz of raw limb arrays loads in ~1s at k=18, vs
+        minutes for the reference-layout .bin (524288 per-point python
+        parses)."""
         os.makedirs(_PARAMS_CACHE, exist_ok=True)
         path = os.path.join(_PARAMS_CACHE, f"kzg-v2-bn254-{k}-{s or 0}.bin")
+        npz = path + ".npz"
+        if os.path.exists(npz):
+            return ParamsKZG._load_npz(npz, s_secret=s)
         if os.path.exists(path):
             with open(path, "rb") as f:
-                return ParamsKZG.read(f.read(), s_secret=s)
-        params = ParamsKZG.setup(k, s=s)
-        with open(path, "wb") as f:
-            f.write(params.write())
+                params = ParamsKZG.read(f.read(), s_secret=s)
+        else:
+            params = ParamsKZG.setup(k, s=s)
+            with open(path, "wb") as f:
+                f.write(params.write())
+        params._save_npz(npz)
         return params
 
     # -- serde (kzg/commitment.rs:167-267 layout; write() defaults to

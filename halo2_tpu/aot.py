@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import logging
 import os
 import threading
 
@@ -30,6 +31,18 @@ import jax
 
 _LOCK = threading.Lock()
 _SOURCE_HASH = None
+_LOG = logging.getLogger(__name__)
+
+
+def trace_state_clean() -> bool:
+    """True when NOT inside an ambient jax trace (jit/shard_map/vmap).
+    Wraps the private jax API; on API drift assume a clean state (callers
+    then use their plain-jit path, which is always correct)."""
+    try:
+        from jax._src import core as _core
+        return bool(_core.trace_state_clean())
+    except Exception:
+        return True
 
 
 def _source_hash() -> str:
@@ -89,23 +102,26 @@ class AotFunction:
         return hashlib.sha256(raw.encode()).hexdigest()[:24]
 
     def __call__(self, *args):
-        from jax._src import core as _core
-        if not enabled() or not _core.trace_state_clean():
+        if not enabled() or not trace_state_clean():
             return self._fn(*args)
-        key = self._key(args)
+        try:
+            key = self._key(args)
+        except Exception:
+            # non-array leaf (no .shape) — not an exportable signature
+            return self._fn(*args)
         cached = self._loaded.get(key)
         if cached is not None:
             return cached(*args)
         path = os.path.join(_cache_dir(),
                             f"{self._name.replace('/', '_')}-{key}.jexp")
         from jax import export as jexport
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                exp = jexport.deserialize(f.read())
-            call = jax.jit(exp.call)
-            self._loaded[key] = call
-            return call(*args)
         try:
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    exp = jexport.deserialize(f.read())
+                call = jax.jit(exp.call)
+                self._loaded[key] = call
+                return call(*args)
             # export FIRST and call through the exported module: one trace
             # total (export traces+lowers; jit(exp.call) only compiles)
             structs = jax.tree_util.tree_map(
@@ -118,8 +134,13 @@ class AotFunction:
             call = jax.jit(exp.call)
             self._loaded[key] = call
             return call(*args)
-        except Exception:
-            self._loaded[key] = self._fn    # AOT is an optimization only
+        except Exception as e:
+            # AOT is an optimization only — but a systematic failure
+            # (unsupported primitive, read-only cache dir) reverting every
+            # fresh process to minutes of tracing deserves a diagnostic
+            _LOG.warning("AOT export/load disabled for %s (%s: %s)",
+                         self._name, type(e).__name__, e)
+            self._loaded[key] = self._fn
             return self._fn(*args)
 
 

@@ -29,7 +29,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..fields.field import Field
-from ..ntt.ntt import get_ntt, powers
+from ..ntt.ntt import get_ntt, powers, fused_min_logn
 from .mesh import ROW_AXIS
 
 
@@ -48,8 +48,11 @@ def _col_powers(F: Field, base, n: int):
 def _local_forward(ntt, x):
     """Forward transform along axis -2 using the plain or fused path.
     (`ntt` may be built on an inverse root — the CALLER owns 1/n.)"""
-    if ntt.log_n >= 10:
-        return ntt._fused()._transform(x, False)
+    if ntt.log_n >= fused_min_logn():
+        f = ntt._fused()
+        # direct jitted transform (inlines under the ambient shard_map
+        # trace); inv=False so the trailing 1/n multiply is skipped
+        return f._transform_jit(False, x, f._needed(False), f.n_inv)
     return ntt._transform(x, False)
 
 
@@ -91,7 +94,7 @@ class ShardedNTT:
         self.ntt1_i = get_ntt(F, self.log_n1, pow(omega_inv, n2, F.p))
         self.ntt2_i = get_ntt(F, self.log_n2, pow(omega_inv, n1, F.p))
         for ntt in (self.ntt1_f, self.ntt2_f, self.ntt1_i, self.ntt2_i):
-            if ntt.log_n >= 10:
+            if ntt.log_n >= fused_min_logn():
                 ntt._fused()
         # w^(i2) bases for the inter-step twiddle, sharded on i2
         shard = jax.sharding.NamedSharding(mesh, P(ROW_AXIS, None))

@@ -54,9 +54,22 @@ def _use_pallas() -> bool:
         import os
         if os.environ.get("HALO2_TPU_NO_PALLAS"):
             return False
-        return jax.default_backend() != "cpu"
+        if jax.default_backend() == "cpu":
+            return False
     except Exception:
         return False
+    try:
+        # under jax.ensure_compile_time_eval (= eager_constant_folding) a
+        # pallas kernel trace materializes every scalar as a captured
+        # constant, which pallas_call rejects — use the jnp lowering for
+        # those one-time table builds.  The flag is include_in_jit_key so
+        # the two paths never share a cached executable.
+        from jax._src import config as _cfg
+        if _cfg.eager_constant_folding.value:
+            return False
+    except Exception:
+        pass  # private-API drift: assume not in a cte context
+    return True
 
 
 def _unroll() -> bool:

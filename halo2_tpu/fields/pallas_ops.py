@@ -26,7 +26,12 @@ TILE = 2048  # lanes per grid step; VMEM use ~ 33 rows * TILE * 4B ~ 270KB
 def _mont_mul_body(F: Field, a, b):
     """a, b: lists of NLIMBS (T,) uint32 vectors. Returns list of NLIMBS
     result vectors (Montgomery product, canonical < p)."""
-    zero = jnp.zeros_like(a[0])
+    # NOTE(kernel constants): all constants in these bodies must be Python
+    # ints (weak-typed -> jaxpr Literals) and zeros must derive from a
+    # traced operand — a `jnp.uint32(..)`/`jnp.zeros(..)` created while an
+    # OUTER jit trace is ambient becomes an outer-trace tracer that the
+    # kernel would "capture", which pallas rejects ("captures constants").
+    zero = a[0] ^ a[0]
     acc = [zero] * (2 * NLIMBS + 1)
     # schoolbook product, per-product lo/hi split; each column accumulates
     # <= 2*NLIMBS products per phase (bounded < 2**22, exact in uint32)
@@ -37,8 +42,8 @@ def _mont_mul_body(F: Field, a, b):
             acc[i + j] = acc[i + j] + (prod & MASK)
             acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
     # Montgomery reduction: clear limbs 0..NLIMBS-1
-    n0 = jnp.uint32(F.n0)
-    p_limbs = [jnp.uint32(int(x)) for x in F.p_limbs]
+    n0 = F.n0
+    p_limbs = [int(x) for x in F.p_limbs]
     for i in range(NLIMBS):
         m = ((acc[i] & MASK) * n0) & MASK
         for j in range(NLIMBS):
@@ -58,14 +63,15 @@ def _mont_mul_body(F: Field, a, b):
 
 
 def _cond_sub_p(F: Field, limbs, extra_carry=None):
-    """limbs: NLIMBS (T,) uint32 < 2**16; subtract p if >= p."""
-    borrow = jnp.zeros_like(limbs[0])
+    """limbs: NLIMBS (T,) uint32 < 2**16; subtract p if >= p.
+    (Python-int constants only — see the kernel-constants note above.)"""
+    borrow = limbs[0] ^ limbs[0]
     diff = []
-    big = jnp.uint32(1 << LIMB_BITS)
+    big = 1 << LIMB_BITS
     for i in range(NLIMBS):
-        v = limbs[i] + big - jnp.uint32(int(F.p_limbs[i])) - borrow
+        v = limbs[i] + big - int(F.p_limbs[i]) - borrow
         diff.append(v & MASK)
-        borrow = jnp.uint32(1) - (v >> LIMB_BITS)
+        borrow = 1 - (v >> LIMB_BITS)
     ge_p = borrow == 0
     if extra_carry is not None:
         ge_p = ge_p | (extra_carry > 0)
@@ -73,7 +79,7 @@ def _cond_sub_p(F: Field, limbs, extra_carry=None):
 
 
 def _add_body(F: Field, a, b):
-    carry = jnp.zeros_like(a[0])
+    carry = a[0] ^ a[0]
     out = []
     for i in range(NLIMBS):
         v = a[i] + b[i] + carry
@@ -83,18 +89,18 @@ def _add_body(F: Field, a, b):
 
 
 def _sub_body(F: Field, a, b):
-    big = jnp.uint32(1 << LIMB_BITS)
-    borrow = jnp.zeros_like(a[0])
+    big = 1 << LIMB_BITS
+    borrow = a[0] ^ a[0]
     diff = []
     for i in range(NLIMBS):
         v = a[i] + big - b[i] - borrow
         diff.append(v & MASK)
-        borrow = jnp.uint32(1) - (v >> LIMB_BITS)
+        borrow = 1 - (v >> LIMB_BITS)
     # if borrowed, add p back
-    carry = jnp.zeros_like(a[0])
+    carry = a[0] ^ a[0]
     fixed = []
     for i in range(NLIMBS):
-        v = diff[i] + jnp.uint32(int(F.p_limbs[i])) + carry
+        v = diff[i] + int(F.p_limbs[i]) + carry
         fixed.append(v & MASK)
         carry = v >> LIMB_BITS
     need_fix = borrow == 1

@@ -184,8 +184,8 @@ class FusedNTT:
         l2 = log_m - l1
         n1, n2 = 1 << l1, 1 << l2
         from .ntt import powers
-        from jax._src import core as _core
-        in_trace = not _core.trace_state_clean()
+        from ..aot import trace_state_clean
+        in_trace = not trace_state_clean()
         for inv in (False, True):
             w = self.omega_inv_int if inv else self.omega_int
             wm = pow(w, self.n >> log_m, self.F.p)

@@ -21,6 +21,19 @@ import numpy as np
 from ..fields.field import Field, NLIMBS
 
 
+def fused_min_logn() -> int:
+    """Transforms of length >= 2^this run the fused four-step path
+    (fused.py) instead of the XLA stage-per-op butterflies.  Overridable via
+    HALO2_TPU_FUSED_NTT_MIN_LOGN so tests and the multichip dryrun exercise
+    the four-step machinery at sizes the 8-device virtual CPU mesh can
+    afford (round-3 VERDICT items 1 and 8)."""
+    import os
+    try:
+        return int(os.environ.get("HALO2_TPU_FUSED_NTT_MIN_LOGN", "10"))
+    except ValueError:
+        return 10
+
+
 def bit_reverse_indices(log_n: int) -> np.ndarray:
     n = 1 << log_n
     idx = np.arange(n)
@@ -61,12 +74,27 @@ class NTT:
         self.n_inv_int = pow(self.n, F.p - 2, F.p)
         # half-size power tables, built on device (only for the XLA
         # stage-per-op path; n >= 2^10 uses the fused four-step tables)
-        if log_n < 10:
-            with jax.ensure_compile_time_eval():
-                self.tw_fwd = powers(F, F.encode_int(omega_int),
-                                     max(self.n // 2, 1))
-                self.tw_inv = powers(F, F.encode_int(self.omega_inv_int),
-                                     max(self.n // 2, 1))
+        if log_n < max(10, fused_min_logn()):
+            from ..aot import trace_state_clean
+            half = max(self.n // 2, 1)
+            if trace_state_clean():
+                with jax.ensure_compile_time_eval():
+                    self.tw_fwd = powers(F, F.encode_int(omega_int), half)
+                    self.tw_inv = powers(
+                        F, F.encode_int(self.omega_inv_int), half)
+            else:
+                # lazily constructed INSIDE an ambient jit trace (a domain
+                # transform first touched under jit): device ops here would
+                # run under ensure_compile_time_eval with the trace ambient,
+                # and the pallas field kernels cannot trace in that context
+                # (concrete operands become captured kernel constants) —
+                # build the tables with host numpy instead
+                from .fused import _pow_table_host
+                with jax.ensure_compile_time_eval():
+                    self.tw_fwd = jnp.asarray(
+                        _pow_table_host(F, omega_int, half))
+                    self.tw_inv = jnp.asarray(
+                        _pow_table_host(F, self.omega_inv_int, half))
         self.n_inv = F.encode_int(self.n_inv_int)
         self._rev = jnp.asarray(bit_reverse_indices(log_n))
 
@@ -101,13 +129,13 @@ class NTT:
 
     def forward(self, a):
         """Coefficient form -> evaluations at omega^i (length-n axis -2)."""
-        if self.log_n >= 10:
+        if self.log_n >= fused_min_logn():
             return self._fused().forward(a)
         return self._transform(a, False)
 
     def inverse(self, a):
         """Evaluations -> coefficient form (includes the 1/n divisor)."""
-        if self.log_n >= 10:
+        if self.log_n >= fused_min_logn():
             return self._fused().inverse(a)
         out = self._transform(a, True)
         return self.F.mul(out, self.n_inv)

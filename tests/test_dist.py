@@ -108,6 +108,12 @@ def test_full_prover_on_mesh_bit_identical(tmp_path):
     distributed NTT transforms, sharded grand-product scans) must produce
     BIT-IDENTICAL proof bytes to the single-chip path, and verify.
 
+    The mesh child runs with the fused-NTT threshold lowered so every
+    ShardedNTT local transform goes through the FUSED four-step path
+    (round-3 VERDICT item 8) while the single-chip child stays on the
+    default plain path — bit-identity across the two pipelines is the
+    strongest equivalence check we have.
+
     Each mode runs in its own subprocess (tests/_dist_prover_child.py):
     XLA:CPU segfaults deterministically once one process accumulates the
     JIT executables of BOTH the single-chip and meshed provers (round-2
@@ -122,9 +128,12 @@ def test_full_prover_on_mesh_bit_identical(tmp_path):
     outs = {}
     for mode in ("single", "mesh"):
         out = tmp_path / f"{mode}.txt"
+        env = dict(os.environ)
+        if mode == "mesh":
+            env["HALO2_TPU_FUSED_NTT_MIN_LOGN"] = "3"
         proc = subprocess.run(
             [sys.executable, child, mode, str(K), str(out)],
-            capture_output=True, timeout=1200)
+            capture_output=True, timeout=1200, env=env)
         assert proc.returncode == 0, \
             f"{mode} child failed:\n{proc.stderr.decode()[-2000:]}"
         outs[mode] = out.read_text().splitlines()

@@ -275,9 +275,10 @@ class MSMIPA:
         if other.u_scalar is not None:
             self.add_to_u_scalar(other.u_scalar)
 
-    def eval(self):
-        curve = self.params.curve
-        F = curve.Fr
+    def _sparse_affine(self):
+        """Host-evaluated sum of the arbitrary-point terms (+ w/u): tens of
+        terms — a device dispatch would compile a fresh kernel per shape
+        for microseconds of arithmetic (see msm/host_msm.py)."""
         scalars = [s for s, _ in self.terms]
         pts = [pt for _, pt in self.terms]
         if self.w_scalar is not None:
@@ -286,20 +287,29 @@ class MSMIPA:
         if self.u_scalar is not None:
             scalars.append(self.u_scalar)
             pts.append(self.params.u_aff)
-        # pad the sparse terms to a power-of-two size class so kernel
-        # compiles are reused across proofs (see MSMKZG.eval_affine)
-        if scalars:
-            target = 1 << (len(scalars) - 1).bit_length()
-            scalars = scalars + [0] * (target - len(scalars))
-            pts = pts + [None] * (target - len(pts))
-        enc_s = F.encode_ints(scalars) if scalars else F.zeros((0,))
-        enc_p = curve.from_affine_ints(pts)
+        from ..msm.host_msm import host_msm
+        return host_msm(self.params.curve, scalars, pts)
+
+    def eval(self):
+        curve = self.params.curve
+        F = curve.Fr
+        sparse = self._sparse_affine()
         if self.g_scalars:
-            enc_s = jnp.concatenate([enc_s, F.encode_ints(self.g_scalars)])
-            enc_p = jnp.concatenate([enc_p, self.params.g], axis=0)
-        return msm(curve, enc_s, enc_p)
+            # dense fixed-base part: full-length n MSM against params.g —
+            # fixed shape, so the cached kernel is reused across proofs
+            key = ("msmipa_g", id(self.params.g))
+            cache = self.params._cached_msm
+            if key not in cache:
+                cache[key] = CachedMSM(curve, self.params.g)
+            out = cache[key](F.encode_ints(self.g_scalars))
+            if sparse is not None:
+                out = curve.add(out, curve.from_affine_ints([sparse])[0])
+            return out
+        return curve.from_affine_ints([sparse])[0]
 
     def check(self) -> bool:
+        if not self.g_scalars:
+            return self._sparse_affine() is None
         return bool(self.params.curve.is_identity(self.eval()))
 
 

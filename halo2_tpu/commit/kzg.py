@@ -304,11 +304,17 @@ class MSMKZG:
         scs = [s for s, b in zip(self.scalars, self.bases) if b is not None]
         if not pts:
             return None
-        # pad to the next power of two: verifier MSMs vary in length by a
-        # few terms per circuit shape, and each distinct length would
-        # otherwise trigger a fresh kernel compile (minutes through the
-        # remote-compile tunnel); zero scalars/identity points are exact
-        # under the complete formulas
+        if len(pts) <= 4096:
+            # verifier MSMs are tens of terms: evaluate on the host
+            # ("verification is cheap", kzg/strategy.rs:140-143) — a device
+            # dispatch would pay a fresh kernel compile per shape for
+            # microseconds of arithmetic
+            from ..msm.host_msm import host_msm
+            return host_msm(curve, scs, pts)
+        # pad to the next power of two: MSMs vary in length by a few terms
+        # per circuit shape, and each distinct length would otherwise
+        # trigger a fresh kernel compile; zero scalars/identity points are
+        # exact under the complete formulas
         target = 1 << (len(pts) - 1).bit_length()
         scs = scs + [0] * (target - len(scs))
         pts = pts + [None] * (target - len(pts))
@@ -371,13 +377,12 @@ class DualMSM:
         if self.params.s_secret is not None:
             # insecure fast path: s*left + (-1)*right must be the identity
             curve = self.params.curve
-            pts = [pt for pt in (left, right)]
             if left is None and right is None:
                 return True
-            scalars = [self.params.s_secret, curve.Fr.p - 1]
-            out = msm(curve, curve.Fr.encode_ints(scalars),
-                      curve.from_affine_ints(pts))
-            return bool(curve.is_identity(out))
+            from ..msm.host_msm import host_msm
+            out = host_msm(curve, [self.params.s_secret, curve.Fr.p - 1],
+                           [left, right])
+            return out is None
         return bn.pairing_check([
             (left, self.params.s_g2),
             (right, ((self.params.g2[0]),

@@ -264,3 +264,29 @@ def test_pippenger_non_divisor_window():
     for c in (5, 13):
         got = pippenger_msm(curve, F.encode_ints(svals), pts, c=c, block=8)
         assert bool(curve.eq(got, want)), f"c={c}"
+
+
+# ----------------------------------------------------------------------
+# host-side verifier MSM (msm/host_msm.py)
+# ----------------------------------------------------------------------
+
+def test_host_msm_matches_python_ground_truth():
+    """host_msm (Jacobian Pippenger over python ints) vs naive py_mul/py_add
+    for a mix of sizes, identities, zero scalars and duplicate points."""
+    from halo2_tpu.msm.host_msm import host_msm
+    rng = random.Random(21)
+    for curve in (VESTA, BN254_G1):
+        g = (curve.gen_x, curve.gen_y)
+        for n in (0, 1, 2, 3, 17, 130):
+            pts = [py_mul(curve, g, rng.randrange(1, 1000))
+                   for _ in range(n)]
+            scalars = [rng.randrange(curve.Fr.p) for _ in range(n)]
+            if n >= 3:
+                pts[1] = None                   # identity in the stream
+                scalars[2] = 0                  # zero scalar
+                pts[0] = pts[-1]                # duplicate point
+            want = None
+            for s, pt in zip(scalars, pts):
+                want = py_add(curve, want, py_mul(curve, pt, s))
+            got = host_msm(curve, scalars, pts)
+            assert got == want, (curve.name, n)

@@ -266,12 +266,18 @@ def stage_micro():
 # stage: e2e prover
 # ----------------------------------------------------------------------
 
-def bench_e2e(k: int) -> dict:
-    """Full keygen -> prove -> verify at 2^k rows on the plonk_api-class
-    circuit (lookup + permutation + vanishing), KZG/BN254 with the SHPLONK
-    multiopen and Blake2b transcript.  Emits the per-[TRANSCRIPT-N] step
-    wall-time table (the transcript's host fetches make steps synchronous,
-    so these are honest device times)."""
+def bench_e2e(k: int, circuit_kind: str = "plonk_api") -> dict:
+    """Full keygen -> prove -> verify at 2^k rows, KZG/BN254 with the
+    SHPLONK multiopen and Blake2b transcript.  circuit_kind:
+      - "plonk_api": the reference's plonk_api test circuit (1 lookup,
+        permutation, vanishing) — BASELINE config 3 at k=18;
+      - "lookup": the lookup-heavy circuit (4 range lookups/row over a
+        2^16 table, 5 bulk-assigned advice columns) — BASELINE config 4
+        at k=20, the zkEVM-shaped workload the streamed lookup cosets
+        serve (reference evaluation.rs:486-558).
+    Emits the per-[TRANSCRIPT-N] step wall-time table (the transcript's
+    host fetches make steps synchronous, so these are honest device
+    times)."""
     import random
 
     _setup_jax()
@@ -279,19 +285,24 @@ def bench_e2e(k: int) -> dict:
     from halo2_tpu.api import create_proof, keygen, verify
     from halo2_tpu.commit import (ParamsKZG, ProverSHPLONK, VerifierSHPLONK,
                                   SingleStrategyKZG)
-    from halo2_tpu.compat.plonk_api import plonk_api_instance
     from halo2_tpu.fields import BN254_FR
 
     F = BN254_FR
-    log(f"[e2e] plonk_api-class circuit, KZG/BN254 + SHPLONK, k={k}")
-    circuit, instances = plonk_api_instance(F)
+    log(f"[e2e] {circuit_kind} circuit, KZG/BN254 + SHPLONK, k={k}")
+    if circuit_kind == "lookup":
+        from halo2_tpu.compat.lookup_heavy import lookup_heavy_instance
+        circuit, instances, keygen_circuit = lookup_heavy_instance(F, k)
+    else:
+        from halo2_tpu.compat.plonk_api import plonk_api_instance
+        circuit, instances = plonk_api_instance(F)
+        keygen_circuit = circuit
 
     t0 = time.time()
     params = ParamsKZG.new(k)
     log(f"[e2e] params (cached setup): {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    pk = keygen(F, params, k, circuit)
+    pk = keygen(F, params, k, keygen_circuit)
     t_keygen = time.time() - t0
     log(f"[e2e] keygen: {t_keygen:.1f}s")
 
@@ -324,6 +335,7 @@ def bench_e2e(k: int) -> dict:
 
     return {
         "k": k,
+        "circuit": circuit_kind,
         "scheme": "KZG/BN254 + SHPLONK + Blake2b",
         "keygen_s": round(t_keygen, 2),
         "prove_first_s": round(t_first, 2),
@@ -332,6 +344,17 @@ def bench_e2e(k: int) -> dict:
         "proof_bytes": len(proof),
         "steps_s": {n: round(s, 2) for n, s in timings.items()},
     }
+
+
+def bench_sweep(ks) -> list:
+    """keygen/prove/verify sweep over k — the analog of the reference's
+    criterion sweep (halo2_proofs/benches/plonk.rs:306-346).  Runs inside
+    ONE process; per-k compiles hit the AOT + persistent caches."""
+    out = []
+    for k in ks:
+        out.append(bench_e2e(k))
+        log(f"[sweep] k={k} done")
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -367,7 +390,13 @@ def main():
             res = stage_micro()
         elif stage == "e2e":
             k = int(sys.argv[sys.argv.index("--k") + 1])
-            res = bench_e2e(k)
+            kind = (sys.argv[sys.argv.index("--circuit") + 1]
+                    if "--circuit" in sys.argv else "plonk_api")
+            res = bench_e2e(k, kind)
+        elif stage == "sweep":
+            ks = [int(x) for x in
+                  sys.argv[sys.argv.index("--ks") + 1].split(",")]
+            res = bench_sweep(ks)
         else:
             raise SystemExit(f"unknown stage {stage}")
         print(RESULT_MARK + json.dumps(res), flush=True)
@@ -378,6 +407,23 @@ def main():
     if os.environ.get("HALO2_TPU_BENCH_NO_E2E") != "1":
         e2e_k = os.environ.get("HALO2_TPU_BENCH_E2E_K", "18")
         e2e = _run_stage(["--stage", "e2e", "--k", e2e_k], timeout=5400)
+
+    # BASELINE config 4: lookup-heavy k=20 (window-chunked CachedMSM path)
+    e2e20 = None
+    if os.environ.get("HALO2_TPU_BENCH_NO_E2E20") != "1":
+        e2e20_k = os.environ.get("HALO2_TPU_BENCH_E2E20_K", "20")
+        e2e20 = _run_stage(
+            ["--stage", "e2e", "--k", e2e20_k, "--circuit", "lookup"],
+            timeout=5400)
+
+    # k-sweep (the reference's criterion sweep analog) — opt-in: it reruns
+    # the full pipeline per k
+    sweep = None
+    if os.environ.get("HALO2_TPU_BENCH_SWEEP"):
+        sweep = _run_stage(
+            ["--stage", "sweep", "--ks",
+             os.environ.get("HALO2_TPU_BENCH_SWEEP_KS", "12,14,16,18")],
+            timeout=10800)
 
     micro = _run_stage(["--stage", "micro"], timeout=3600)
 
@@ -393,6 +439,10 @@ def main():
         out["ntt_elems_per_sec"] = micro["ntt_elems_per_sec"]
     if e2e is not None:
         out["e2e"] = e2e
+    if e2e20 is not None:
+        out["e2e20"] = e2e20
+    if sweep is not None:
+        out["sweep"] = sweep
     print(json.dumps(out), flush=True)
 
 

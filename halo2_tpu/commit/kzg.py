@@ -88,6 +88,12 @@ class ParamsKZG:
         obj._cached_msm = {}
         return obj
 
+    # npz layout stamp: bump on any change to the limb layout or encoding.
+    # A stale cached npz with a different layout would otherwise silently
+    # load wrong SRS points (proofs would fail verification with no hint).
+    _NPZ_FORMAT = {"rev": 1, "nlimbs": NLIMBS, "limb_bits": 16,
+                   "endian": "little", "form": "canonical"}
+
     def _save_npz(self, path: str):
         import json
         import numpy as np
@@ -95,7 +101,8 @@ class ParamsKZG:
         buf = b"".join(x.to_bytes(32, "little") + y.to_bytes(32, "little")
                        for (x, y) in pts)
         xy = np.frombuffer(buf, dtype="<u2").reshape(2 * self.n, 2, NLIMBS)
-        meta = json.dumps({"k": self.k, "g2": self.g2, "s_g2": self.s_g2})
+        meta = json.dumps({"k": self.k, "g2": self.g2, "s_g2": self.s_g2,
+                           "format": self._NPZ_FORMAT})
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
             np.savez(f, xy=xy, meta=np.frombuffer(meta.encode(), np.uint8))
@@ -103,10 +110,14 @@ class ParamsKZG:
 
     @staticmethod
     def _load_npz(path: str, s_secret=None) -> "ParamsKZG":
+        """Returns the params, or None on a format-stamp mismatch (caller
+        falls back to the .bin path and re-saves)."""
         import json
         import numpy as np
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"]).decode())
+            if meta.get("format") != ParamsKZG._NPZ_FORMAT:
+                return None
             xy = z["xy"]
             g2 = tuple(tuple(v) for v in meta["g2"])
             s_g2 = tuple(tuple(v) for v in meta["s_g2"])
@@ -184,7 +195,10 @@ class ParamsKZG:
         path = os.path.join(_PARAMS_CACHE, f"kzg-v2-bn254-{k}-{s or 0}.bin")
         npz = path + ".npz"
         if os.path.exists(npz):
-            return ParamsKZG._load_npz(npz, s_secret=s)
+            params = ParamsKZG._load_npz(npz, s_secret=s)
+            if params is not None:
+                return params
+            # stale layout stamp: fall through to the .bin path + re-save
         if os.path.exists(path):
             with open(path, "rb") as f:
                 params = ParamsKZG.read(f.read(), s_secret=s)
@@ -328,29 +342,36 @@ class PreMSM:
     projective DEVICE point) terms and defers the projective->affine
     conversion, so all collected points share ONE batched normalization
     (a single batched field inversion) and one host fetch, instead of a
-    to_affine_ints round-trip per commitment."""
+    to_affine_ints round-trip per commitment.  The prover's phase/h-piece
+    commitment batches go through `normalize` (plonk/prover.py); `to_msm`
+    mirrors the reference's PreMSM->MSMKZG conversion for accumulation."""
 
-    def __init__(self, params: ParamsKZG):
-        self.params = params
+    def __init__(self, params_or_curve):
+        self.params = params_or_curve
+        self.curve = getattr(params_or_curve, "curve", params_or_curve)
         self.scalars: List[int] = []
         self.points = []            # projective (3, NLIMBS) device arrays
 
     def append_term(self, scalar: int, point_proj):
-        self.scalars.append(scalar % self.params.curve.Fr.p)
+        self.scalars.append(scalar % self.curve.Fr.p)
         self.points.append(point_proj)
 
     def add_msm(self, other: "PreMSM"):
         self.scalars.extend(other.scalars)
         self.points.extend(other.points)
 
+    def normalize(self) -> List:
+        """All collected projective points -> affine int pairs with ONE
+        batched inversion + host fetch (kzg/msm.rs:120-136 normalize)."""
+        if not self.points:
+            return []
+        return self.curve.to_affine_ints(jnp.stack(self.points, axis=0))
+
     def to_msm(self) -> "MSMKZG":
-        """normalize() analog (kzg/msm.rs:120-136)."""
         m = MSMKZG(self.params)
         if self.points:
-            aff = self.params.curve.to_affine_ints(
-                jnp.stack(self.points, axis=0))
             m.scalars = list(self.scalars)
-            m.bases = list(aff)
+            m.bases = list(self.normalize())
         return m
 
 

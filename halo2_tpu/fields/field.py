@@ -192,6 +192,21 @@ class Field:
         arr = arr.reshape(len(vals), NLIMBS)
         return self.to_mont(jnp.asarray(arr))
 
+    def encode_ints_cols(self, cols) -> jnp.ndarray:
+        """List of m equal-length columns of python ints -> (m, n, NLIMBS)
+        Montgomery limb array with ONE host serialization pass and ONE
+        device to-Montgomery dispatch (the per-column encode_ints loop in
+        the prover's commit_phase was the dominant host cost at k=18)."""
+        m = len(cols)
+        if m == 0:
+            return jnp.zeros((0, 0, NLIMBS), jnp.uint32)
+        n = len(cols[0])
+        p = self.p
+        buf = b"".join((v % p).to_bytes(32, "little")
+                       for col in cols for v in col)
+        arr = np.frombuffer(buf, dtype="<u2").astype(np.uint32)
+        return self.to_mont(jnp.asarray(arr.reshape(m, n, NLIMBS)))
+
     def encode_int(self, x: int) -> jnp.ndarray:
         return jnp.asarray(_int_to_limbs(self.to_mont_int(int(x) % self.p)))
 

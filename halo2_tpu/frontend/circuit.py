@@ -193,6 +193,47 @@ class Region:
         self._assignment.assign_advice(column, row, value)
         return AssignedCell(Cell(column, row), value)
 
+    def assign_advice_column(self, column: Column, offset: int, values):
+        """Bulk slice assignment: assigns values[i] to rows offset+i in one
+        call.  The per-cell `assign_advice` walks every witness value
+        through Python closures/Value objects — fine for gadget-sized
+        regions, but zkEVM-class circuits assign millions of cells
+        (the reference gets the same effect from rayon parallel regions,
+        `thread-safe-region` / examples/vector-mul.rs; here the witness
+        matrix is column-major anyway — WitnessCalculator::calc,
+        halo2_frontend/src/circuit.rs:255-359)."""
+        if not values:
+            return
+        if self._shape is not None:
+            self._shape.note(column, offset + len(values) - 1)
+            return
+        row0 = self._abs(offset)
+        sink = self._assignment
+        if hasattr(sink, "assign_advice_slice"):
+            sink.assign_advice_slice(column, row0, values)
+        else:
+            for i, v in enumerate(values):
+                sink.assign_advice(
+                    column, row0 + i,
+                    v if isinstance(v, Value) else Value.known(v))
+
+    def assign_fixed_column(self, column: Column, offset: int, values):
+        """Bulk fixed-column slice (see assign_advice_column)."""
+        if not values:
+            return
+        if self._shape is not None:
+            self._shape.note(column, offset + len(values) - 1)
+            return
+        row0 = self._abs(offset)
+        sink = self._assignment
+        if hasattr(sink, "assign_fixed_slice"):
+            sink.assign_fixed_slice(column, row0, values)
+        else:
+            for i, v in enumerate(values):
+                sink.assign_fixed(
+                    column, row0 + i,
+                    v if isinstance(v, Value) else Value.known(v))
+
     def assign_advice_from_constant(self, column: Column, offset: int,
                                     constant: int) -> AssignedCell:
         cell = self.assign_advice(column, offset, Value.known(constant))
@@ -442,12 +483,27 @@ class KeygenAssembly:
         if row >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
 
+    def assign_advice_slice(self, column: Column, row0: int, values):
+        if row0 + len(values) > self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+
     def assign_fixed(self, column: Column, row: int, value: Value):
         if row >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.k)
         if value.is_known():
             # deferred payload; batch-resolved in compile_circuit
             self.fixed[column.index][row] = value.value()
+
+    def assign_fixed_slice(self, column: Column, row0: int, values):
+        if row0 + len(values) > self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        col = self.fixed[column.index]
+        for i, v in enumerate(values):
+            if isinstance(v, Value):
+                if not v.is_known():
+                    continue
+                v = v.value()
+            col[row0 + i] = v
 
     def copy(self, lcol: Column, lrow: int, rcol: Column, rrow: int):
         if lrow >= self.usable_rows or rrow >= self.usable_rows:
@@ -515,7 +571,26 @@ class WitnessCollection:
         # the end of the phase (WitnessCalculator.calc)
         self.advice[column.index][row] = value.value()
 
+    def assign_advice_slice(self, column: Column, row0: int, values):
+        """Bulk path for Region.assign_advice_column: raw ints (or
+        Assigned) land directly in the column list — no per-cell Value."""
+        if row0 + len(values) > self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if column.phase != self.phase:
+            return
+        col = self.advice[column.index]
+        for i, v in enumerate(values):
+            if isinstance(v, Value):
+                if not v.is_known():
+                    raise SynthesisError(
+                        f"unknown witness value at {column} row {row0 + i}")
+                v = v.value()
+            col[row0 + i] = v
+
     def assign_fixed(self, column, row, value):
+        pass
+
+    def assign_fixed_slice(self, column, row0, values):
         pass
 
     def fill_from_row(self, column, from_row, value):

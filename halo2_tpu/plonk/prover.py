@@ -389,6 +389,14 @@ class Prover:
         for circ, witness in enumerate(witnesses):
             assert set(witness.keys()) == set(column_indices), \
                 f"witness columns {set(witness.keys())} != phase columns"
+            if not column_indices:
+                continue
+            # batched phase commit (prover.rs:401-477, restructured): ONE
+            # host serialization + to-Montgomery dispatch for all phase
+            # columns, per-column MSMs, then ONE batched normalization +
+            # host fetch for all the commitments (the per-column
+            # encode/normalize loop dominated the k=18 step time)
+            col_vals, blinds = [], []
             for ci in column_indices:
                 values = [v % F.p for v in witness[ci]]
                 assert len(values) == n
@@ -404,14 +412,22 @@ class Prover:
                                    values[unusable_start:]), \
                             f"unblinded column {ci} nonzero blinding rows"
                     blind = Blind(1)
-                col = F.encode_ints(values)
-                comm = self.params.commit_affine_lagrange(
-                    Poly.lagrange(col), blind)
+                col_vals.append(values)
+                blinds.append(blind)
+            cols = F.encode_ints_cols(col_vals)            # (m, n, L)
+            from ..commit.kzg import PreMSM
+            pre = PreMSM(self.params.curve)    # batch-normalization collector
+            for j in range(len(column_indices)):
+                pre.append_term(1, self.params.commit_lagrange(
+                    Poly.lagrange(cols[j]), blinds[j]))
+            for pt in pre.normalize():
                 # [TRANSCRIPT-3]
-                self.transcript.write_point(comm)
-                self.advice_values[circ] = \
-                    self.advice_values[circ].at[ci].set(col)
-                self.advice_blinds[circ][ci] = blind
+                self.transcript.write_point(pt)
+            idx = jnp.asarray(column_indices)
+            self.advice_values[circ] = \
+                self.advice_values[circ].at[idx].set(cols)
+            for j, ci in enumerate(column_indices):
+                self.advice_blinds[circ][ci] = blinds[j]
 
         # [TRANSCRIPT-4]
         for index, ch_phase in enumerate(cs.challenge_phase):
@@ -539,8 +555,15 @@ class Prover:
             n_pieces = domain.quotient_poly_degree
             h_pieces = [h_coeff[i * n:(i + 1) * n] for i in range(n_pieces)]
             h_blinds = [Blind(rng.randrange(p)) for _ in range(n_pieces)]
+            # batched normalization (PreMSM, kzg/msm.rs:96-137): commit each
+            # piece on device, then ONE projective->affine conversion +
+            # host fetch for all pieces
+            from ..commit.kzg import PreMSM
+            pre = PreMSM(params.curve)
             for piece, blind in zip(h_pieces, h_blinds):
-                t.write_point(params.commit_affine(piece, blind))
+                pre.append_term(1, params.commit(piece, blind))
+            for pt in pre.normalize():
+                t.write_point(pt)
 
         self._tick('h_pieces [T14]')
         # [TRANSCRIPT-15] x

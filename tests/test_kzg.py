@@ -173,3 +173,30 @@ def test_params_downsize(params):
     fresh = ParamsKZG.setup(K - 1, s=params.s_secret)
     assert small.g_aff == fresh.g_aff
     assert small.g_lagrange_aff == fresh.g_lagrange_aff
+
+
+def test_premsm_batched_normalize(params):
+    """PreMSM (kzg/msm.rs:96-137): projective device points -> one batched
+    normalization; identity points survive as None bases and drop out of
+    the accumulated MSM evaluation."""
+    import random
+    from halo2_tpu.commit.kzg import PreMSM, MSMKZG
+    from halo2_tpu.msm.host_msm import host_msm
+    from tests.test_curves_msm import py_mul, py_add
+    curve = params.curve
+    rng = random.Random(31)
+    g = (curve.gen_x, curve.gen_y)
+    terms = [(rng.randrange(1, 1000), rng.randrange(2, 50)) for _ in range(4)]
+    pre = PreMSM(params)
+    for s, m in terms:
+        pt_aff = py_mul(curve, g, m)
+        pre.append_term(s, curve.from_affine_ints([pt_aff])[0])
+    pre.append_term(7, curve.identity(()))     # identity -> None base
+    msm_acc = pre.to_msm()
+    assert isinstance(msm_acc, MSMKZG)
+    assert msm_acc.bases[-1] is None
+    got = msm_acc.eval_affine()
+    want = None
+    for s, m in terms:
+        want = py_add(curve, want, py_mul(curve, py_mul(curve, g, m), s))
+    assert got == want

@@ -39,7 +39,19 @@ import numpy as np
 from ..curves.curve import Curve
 from ..fields.field import NLIMBS, _use_pallas
 
-LANES = 1024     # lane-tile width for the Pallas scan kernel
+def _lanes() -> int:
+    """Lane-tile width for the Pallas scan kernel.  Each grid step runs one
+    full mixed addition over this many independent lanes; wider tiles
+    amortize op issue + pipeline latency over more VPU registers (the scan
+    is issue-bound, not HBM-bound).  Env-tunable for calibration."""
+    import os
+    try:
+        return int(os.environ.get("HALO2_TPU_SCAN_LANES", "1024"))
+    except ValueError:
+        return 1024
+
+
+LANES = 1024     # back-compat alias; the kernel reads _lanes()
 SENTINEL_KEY = 1 << 30   # sorts after every real bucket key; marked inf
 
 
@@ -117,6 +129,7 @@ def _scan_level_pallas(curve, keys, pts, inf, block, affine, packed=False):
 
     M = keys.shape[0]
     nb = M // block
+    LANES = _lanes()
     # Mosaic tiling: the lane (last) dim of a block must be a multiple of
     # 128 or equal to the whole array dim.  nb <= LANES: one tile, lanes=nb
     # (equal-to-array).  Else pad nb to a multiple of 128 with sentinel

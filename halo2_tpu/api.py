@@ -49,12 +49,19 @@ def create_proof(params, pk, circuits: List, instances: List[List[List[int]]],
     prover.timings["instances [T1-2]"] = time.time() - t0
 
     # per-circuit witness calculators over freshly-configured constraint
-    # systems (must structurally match the pk's)
+    # systems (must structurally match the pk's).  Configuration ONLY — the
+    # reference's create_proof also just configures (prover.rs:44-55);
+    # running full compile_circuit here would redo keygen-assembly
+    # synthesis + selector compression (seconds of host work at k>=18)
+    # for data the pk already holds.
     t0 = time.time()
+    from .frontend.circuit import configure_circuit
+    from .frontend.constraint_system import ConstraintSystem
     calcs = []
     for circuit, inst in zip(circuits, instances):
-        compiled, config, cs = compile_circuit(F, k, circuit)
-        calcs.append(WitnessCalculator(F, k, circuit, config, cs, inst))
+        cs_front = ConstraintSystem()
+        config = configure_circuit(circuit, cs_front)
+        calcs.append(WitnessCalculator(F, k, circuit, config, cs_front, inst))
 
     challenges = {}
     cs = pk.vk.cs.cs

@@ -188,9 +188,10 @@ class Field:
         if not vals:
             return jnp.zeros((0, NLIMBS), jnp.uint32)
         buf = b"".join(v.to_bytes(32, "little") for v in vals)
-        arr = np.frombuffer(buf, dtype="<u2").astype(np.uint32)
-        arr = arr.reshape(len(vals), NLIMBS)
-        return self.to_mont(jnp.asarray(arr))
+        # ship 16-bit limbs (2B each) and upcast ON DEVICE: host->device
+        # transfer is the cost at prover scale (remote-TPU tunnel)
+        arr = np.frombuffer(buf, dtype="<u2").reshape(len(vals), NLIMBS)
+        return self.to_mont(jnp.asarray(arr).astype(jnp.uint32))
 
     def encode_ints_cols(self, cols) -> jnp.ndarray:
         """List of m equal-length columns of python ints -> (m, n, NLIMBS)
@@ -204,8 +205,8 @@ class Field:
         p = self.p
         buf = b"".join((v % p).to_bytes(32, "little")
                        for col in cols for v in col)
-        arr = np.frombuffer(buf, dtype="<u2").astype(np.uint32)
-        return self.to_mont(jnp.asarray(arr.reshape(m, n, NLIMBS)))
+        arr = np.frombuffer(buf, dtype="<u2").reshape(m, n, NLIMBS)
+        return self.to_mont(jnp.asarray(arr).astype(jnp.uint32))
 
     def encode_int(self, x: int) -> jnp.ndarray:
         return jnp.asarray(_int_to_limbs(self.to_mont_int(int(x) % self.p)))
@@ -216,8 +217,10 @@ class Field:
         reassembles 32-byte little-endian integers."""
         if arr.size == 0:
             return []
-        canon = jax.device_get(self.from_mont(arr))
-        a = np.asarray(canon, dtype=np.uint32).reshape(-1, NLIMBS)
+        # cast to 16-bit ON DEVICE: the device->host fetch is the cost at
+        # prover scale (remote-TPU tunnel), and limbs are < 2^16 canonical
+        canon = jax.device_get(self._from_mont_u16(arr))
+        a = np.asarray(canon).reshape(-1, NLIMBS)
         buf = a.astype("<u2").tobytes()
         return [int.from_bytes(buf[i * 32:(i + 1) * 32], "little")
                 for i in range(a.shape[0])]
@@ -375,6 +378,12 @@ class Field:
         """Montgomery form -> canonical limb array (multiply by 1)."""
         one = jnp.zeros(NLIMBS, jnp.uint32).at[0].set(1)
         return self.mul(a_mont, one)
+
+    @_jit
+    def _from_mont_u16(self, a_mont):
+        """from_mont narrowed to uint16 on device (canonical limbs are
+        < 2^16) — halves the device->host fetch for bulk decodes."""
+        return self.from_mont(a_mont).astype(jnp.uint16)
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def pow(self, a, e: int):

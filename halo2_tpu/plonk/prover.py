@@ -414,18 +414,40 @@ class Prover:
                     blind = Blind(1)
                 col_vals.append(values)
                 blinds.append(blind)
+            import os as _os
+            import time as _time
+            dbg = _os.environ.get("HALO2_TPU_STEP_TIMINGS") == "1"
+            t0 = _time.time()
             cols = F.encode_ints_cols(col_vals)            # (m, n, L)
+            if dbg:
+                jax.block_until_ready(cols)
+                print(f"    [commit_phase] encode: {_time.time()-t0:.2f}s",
+                      flush=True)
+                t0 = _time.time()
             from ..commit.kzg import PreMSM
             pre = PreMSM(self.params.curve)    # batch-normalization collector
             for j in range(len(column_indices)):
                 pre.append_term(1, self.params.commit_lagrange(
                     Poly.lagrange(cols[j]), blinds[j]))
+            if dbg:
+                jax.block_until_ready(pre.points)
+                print(f"    [commit_phase] msms: {_time.time()-t0:.2f}s",
+                      flush=True)
+                t0 = _time.time()
             for pt in pre.normalize():
                 # [TRANSCRIPT-3]
                 self.transcript.write_point(pt)
+            if dbg:
+                print(f"    [commit_phase] normalize+write: "
+                      f"{_time.time()-t0:.2f}s", flush=True)
+                t0 = _time.time()
             idx = jnp.asarray(column_indices)
             self.advice_values[circ] = \
                 self.advice_values[circ].at[idx].set(cols)
+            if dbg:
+                jax.block_until_ready(self.advice_values[circ])
+                print(f"    [commit_phase] set: {_time.time()-t0:.2f}s",
+                      flush=True)
             for j, ci in enumerate(column_indices):
                 self.advice_blinds[circ][ci] = blinds[j]
 

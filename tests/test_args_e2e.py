@@ -42,6 +42,7 @@ def params():
     return ParamsIPA.new(VESTA, K)
 
 
+@pytest.mark.slow
 def test_lookup_proof(params):
     circuit = LookupCircuit([1, 5, 15, 0, 3])
     pk = keygen(F, params, K, circuit)

@@ -186,6 +186,7 @@ def test_compressed_circuit_fewer_fixed_columns():
     assert cs_c.num_selectors == 0 and cs_d.num_selectors == 0
 
 
+@pytest.mark.slow
 def test_compressed_proof_roundtrip():
     from halo2_tpu.api import keygen, create_proof, verify
     from halo2_tpu.commit import ParamsIPA, new_rng

@@ -17,6 +17,7 @@ def test_invalid_combinations_rejected():
         ProofConfig(k=5, curve="nope")
 
 
+@pytest.mark.slow
 def test_config_roundtrip_ipa_vesta():
     cfg = ProofConfig(k=5, curve="vesta", scheme="ipa")
     circuit, instances = plonk_api_instance(cfg.F)
@@ -27,6 +28,7 @@ def test_config_roundtrip_ipa_vesta():
     assert cfg.verify(pk.vk, proof, [instances], params=params)
 
 
+@pytest.mark.slow
 def test_config_roundtrip_kzg_shplonk_keccak():
     cfg = ProofConfig(k=5, curve="bn254", scheme="kzg-shplonk",
                       transcript="keccak256")

@@ -180,6 +180,7 @@ def test_windowed_msm_matches_naive():
     assert bool(curve.eq(fast, slow))
 
 
+@pytest.mark.slow
 def test_msm_adversarial_distributions():
     """Bucket accumulation must stay correct when every element lands in one
     bucket (equal scalars), when scalars are zero, and when n is not a
@@ -248,6 +249,7 @@ def test_fused_ntt_matches_stage_ntt():
     assert gb[: 1 << log_n] == got
 
 
+@pytest.mark.slow
 def test_pippenger_non_divisor_window():
     """Signed digits free c from the 16-bit limb constraint: odd widths must
     agree with naive (exercises cross-limb window extraction + carry)."""

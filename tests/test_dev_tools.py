@@ -70,6 +70,7 @@ def setup():
     return params, pk, circuit, c
 
 
+@pytest.mark.slow
 def test_batch_verifier(setup):
     params, pk, circuit, c = setup
     p1 = create_proof(params, pk, [circuit], [[[c]]], random.Random(11))

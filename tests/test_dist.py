@@ -103,6 +103,7 @@ def test_sharded_prefix_product(mesh):
 # the real prover on the mesh (VERDICT round-1 item 2)
 # ----------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_full_prover_on_mesh_bit_identical(tmp_path):
     """`create_proof` with a meshed PlonkEngine (sharded descriptor MSMs,
     distributed NTT transforms, sharded grand-product scans) must produce

@@ -27,6 +27,7 @@ def setup():
     return params, pk, circuit, c
 
 
+@pytest.mark.slow
 def test_prove_verify_roundtrip(setup):
     params, pk, circuit, c = setup
     rng = random.Random(42)

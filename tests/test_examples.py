@@ -12,6 +12,7 @@ EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(
 sys.path.insert(0, EXAMPLES)
 
 
+@pytest.mark.slow
 def test_simple_example():
     import simple_example
     simple_example.main(k=6, prove=True)

@@ -13,6 +13,7 @@ from halo2_tpu.frontend.floor_planner_v1 import (
 from halo2_tpu.frontend.circuit import _RegionShape
 from halo2_tpu.frontend.expression import ADVICE, Column
 from halo2_tpu.dev import MockProver
+import pytest
 
 
 def test_allocations_free_intervals():
@@ -130,6 +131,7 @@ def test_v1_compile_matches_constraints():
     assert len(compiled.preprocessing.fixed) == cs.num_fixed_columns
 
 
+@pytest.mark.slow
 def test_v1_proof_roundtrip():
     from halo2_tpu.api import keygen, create_proof, verify
     from halo2_tpu.commit import ParamsIPA, new_rng

@@ -23,6 +23,7 @@ F = PASTA_FP
 K = 5
 
 
+@pytest.mark.slow
 def test_split_api_roundtrip():
     values = [1, 2, 3, 5, 7, 2, 4, 8]
     circuit = LookupCircuit(values)

@@ -36,6 +36,7 @@ def test_e2e_k11_plonk_api_ipa():
     assert not verify(params, pk.vk, bytes(bad), [instances])
 
 
+@pytest.mark.slow
 def test_two_circuits_one_transcript():
     K = 6
     c1, i1 = plonk_api_instance(F)

@@ -41,6 +41,7 @@ def params():
     return ParamsKZG.new(K)
 
 
+@pytest.mark.slow
 def test_unblinded_commitments_match_across_circuits(params):
     """The first two proof points are the commitments to the unblinded
     a/b columns (advice columns 0 and 1, phase 0); they must agree between

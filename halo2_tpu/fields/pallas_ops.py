@@ -152,6 +152,50 @@ def _binop_pallas(F: Field, which: str, a, b):
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _binop_pallas_lm(F: Field, which: str, a, b):
+    """Limb-major variant: a, b are (NLIMBS, ...) broadcastable.  Skips the
+    boundary moveaxis relayouts of `_binop_pallas` — inside the fused NTT
+    the data already lives limb-major, and each moveaxis is a full-array
+    HBM round trip."""
+    a, b = jnp.broadcast_arrays(a, b)
+    shape = a.shape
+    n = 1
+    for d in shape[1:]:
+        n *= d
+    at = a.reshape(NLIMBS, n)
+    bt = b.reshape(NLIMBS, n)
+    n_pad = -(-max(n, 1) // TILE) * TILE
+    if n_pad != n:
+        at = jnp.pad(at, [(0, 0), (0, n_pad - n)])
+        bt = jnp.pad(bt, [(0, 0), (0, n_pad - n)])
+    body = {"mul": _mont_mul_body, "add": _add_body, "sub": _sub_body}[which]
+    kernel = _make_kernel(F, body)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((NLIMBS, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NLIMBS, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NLIMBS, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, n_pad), jnp.uint32),
+    )(at, bt)
+    return out[:, :n].reshape(shape)
+
+
+def mont_mul_lm(F: Field, a, b):
+    """Montgomery product on LIMB-MAJOR (NLIMBS, ...) arrays."""
+    if _use_pallas():
+        return _binop_pallas_lm(F, "mul", a, b)
+    # jnp fallback: route through the limb-last implementation
+    out = F.mul(jnp.moveaxis(a, 0, -1), jnp.moveaxis(b, 0, -1))
+    return jnp.moveaxis(out, -1, 0)
+
+
 def mont_mul(F: Field, a, b):
     return _binop_pallas(F, "mul", a, b)
 

@@ -58,8 +58,12 @@ def pippenger_msm(curve: Curve, scalars_mont, points, c: int = 8,
 
 
 def auto_c(n: int) -> int:
-    """Window width minimizing scan + tails work for the cached fixed-base
-    MSM: ~256n/c scan adds vs 2^(c-1)*block tail adds (bucket_scan.py)."""
+    """Window width minimizing sort+gather+scan rows (~256n/c) against the
+    bucket-space costs (tails gather+scan over 2^(c-1)*block rows PER
+    LEVEL, and the weighted fold).  Measured end-to-end at k=18 on v5e:
+    c=13 -> 156 ms, c=15/pad64 -> 189 ms, c=16 -> 232 ms (the tails
+    machinery at 2^15 buckets dominates the 20%% row reduction), so the
+    sweet spot stays at 13."""
     return max(4, min(13, int(n).bit_length() - 4))
 
 

@@ -231,9 +231,11 @@ class FusedNTT:
         x = self._ntt_mid(x, l1, inv, arrays)             # over i1
         x = x.reshape(NLIMBS, n1, n2, B)
         tw = arrays[f"{log_m}:{int(inv)}:mid"]            # (L, n1, n2)
-        x = F.mul(jnp.moveaxis(x, 0, -1),
-                  jnp.moveaxis(tw, 0, -1)[..., None, :])
-        x = jnp.moveaxis(x, -1, 0)
+        # limb-major fused multiply: the data is already (L, ...) here, and
+        # the limb-last F.mul would moveaxis the whole array to (..., L)
+        # and back — two full HBM round trips per twiddle stage
+        from ..fields.pallas_ops import mont_mul_lm
+        x = mont_mul_lm(F, x, tw[..., None])
         x = jnp.swapaxes(x, 1, 2)                         # (L, n2, n1, B)
         x = x.reshape(NLIMBS, n2, n1 * B)
         x = self._ntt_mid(x, l2, inv, arrays)             # over i2

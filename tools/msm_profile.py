@@ -20,7 +20,10 @@ import numpy as np
 
 
 def _fetch(x):
-    return np.asarray(x)
+    # fetch ONE element: force completion without pulling the whole array
+    # through the remote-device tunnel (a full (nw, n) fetch is ~20MB,
+    # which would swamp sub-100ms timings)
+    return np.asarray(x.reshape(-1)[:1])
 
 
 def timed(name, fn, *args, reps=5, rtt=0.03):
@@ -89,9 +92,11 @@ def main():
     sortf = jax.jit(lambda x: bs.sort_perm(x))
     (keys_s, perm), t_sort = timed("sort_perm (keys+iota)", sortf, flat_keys)
 
-    # 3. row gather by permutation
-    gat = jax.jit(lambda p: jnp.take(rows, p, axis=0))
-    rows_s, t_gather = timed("row gather", gat, perm)
+    # 3. row gather by permutation (rows passed as an ARGUMENT: a closed-
+    # over 2GB table would be captured as a jit constant and shipped inside
+    # the HLO to the remote compiler)
+    gat = jax.jit(lambda r, p: jnp.take(r, p, axis=0))
+    rows_s, t_gather = timed("row gather", gat, rows, perm)
 
     # 4. segmented scan to bucket sums (includes tails + all levels)
     xy, inf_s = bs.unpack_affine_rows(rows_s)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .field import Field, NLIMBS, LIMB_BITS, MASK
+from .field import Field, NLIMBS, LIMB_BITS, MASK, _use_pallas
 
 TILE = 2048  # lanes per grid step; VMEM use ~ 33 rows * TILE * 4B ~ 270KB
 

@@ -307,7 +307,8 @@ def keygen(F: Field, params, compiled: CompiledCircuit, k: int,
     l_active_row = F.sub(F.sub(one, l_last), l_blind)
 
     _kt('vk hash + lagrange basis')
-    evaluator = Evaluator(F, domain, cs_back)
+    evaluator = Evaluator(F, domain, cs_back,
+                          salt=format(vk.transcript_repr, "x"))
 
     return ProvingKey(vk, l0, l_last, l_active_row, fixed_values,
                       fixed_polys, fixed_cosets,

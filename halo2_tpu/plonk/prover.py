@@ -82,10 +82,14 @@ class Evaluator:
       over all lookups.
     """
 
-    def __init__(self, F: Field, domain, cs_back):
+    def __init__(self, F: Field, domain, cs_back, salt: str = ""):
         self.F = F
         self.domain = domain
         self.cs_back = cs_back
+        # AOT-artifact salt identifying the EXPRESSION STRUCTURE (the vk
+        # transcript hash at keygen): lets fresh processes load the traced
+        # h-pass accumulators from disk instead of re-tracing (aot.py)
+        self.salt = salt
         self._compiled = {}
         # X values over the extended coset domain: zeta * ext_omega^i
         pts = powers(F, F.encode_int(domain.extended_omega), domain.extended_n)
@@ -97,7 +101,8 @@ class Evaluator:
         """Cache of per-stage accumulators.  The key carries the stage and
         argument index; expression structure is static per cs_back (one
         Evaluator per pk), so compiled fns are reused across circuits and
-        proofs."""
+        proofs — and AOT-exported to disk (keyed by the vk-hash salt) so
+        fresh processes skip the trace."""
         if key not in self._compiled:
             import os
             fn = builder()
@@ -108,6 +113,11 @@ class Evaluator:
                 # once and are reused; jitting whole passes with SPMD
                 # partitioning is slow to compile on virtual meshes.
                 self._compiled[key] = fn
+            elif self.salt:
+                from ..aot import aot
+                stage = "_".join(str(x) for x in key[1:])
+                self._compiled[key] = aot(
+                    jax.jit(fn), f"heval_{stage}", salt=self.salt)
             else:
                 self._compiled[key] = jax.jit(fn)
         return self._compiled[key]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.field import Field, NLIMBS
-from .ntt import bit_reverse_indices
+from .ntt import bit_reverse_indices  # noqa: F401 (kept for plain-path callers)
 
 MAX_BASE = 128       # largest single-kernel NTT (sublane dim of the block);
                      # 128 keeps the kernel's live temps (~6 x 16*m*tile*4B)
@@ -49,27 +49,37 @@ def _pow_table_host(F: Field, base_int: int, n: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _base_ntt_jnp(F: Field, x, table, log_m: int):
-    """Pure-jnp base NTT (CPU fallback), same contract as _base_ntt."""
+    """Pure-jnp base NTT (CPU fallback), same contract as _base_ntt:
+    Stockham radix-2, NATURAL input and output order."""
     m = 1 << log_m
     xt = jnp.moveaxis(x, 0, -1)                         # (m, B, L)
-    tb = jnp.moveaxis(table, 0, -1)                     # (log_m, half, L)
-    for s in range(1, log_m + 1):
-        bs = 1 << s
-        h = bs // 2
-        v = xt.reshape(m // bs, bs, -1, NLIMBS)
-        e = v[:, :h]
-        o = v[:, h:]
-        t = o if s == 1 else F.mul(o, tb[s - 1, :h][None, :, None, :])
-        xt = jnp.concatenate([F.add(e, t), F.sub(e, t)], axis=1).reshape(
-            m, -1, NLIMBS)
+    tb = jnp.moveaxis(table, 0, -1)                     # (log_m, m//2, L)
+    for t in range(log_m):
+        a = xt[: m // 2]
+        b = xt[m // 2:]
+        s = F.add(a, b)
+        d = F.sub(a, b)
+        if t < log_m - 1:          # last stage's twiddles are all 1
+            d = F.mul(d, tb[t][:, None, :])
+        l = m >> (t + 1)
+        r = 1 << t
+        xt = jnp.stack([s.reshape(l, r, -1, NLIMBS),
+                        d.reshape(l, r, -1, NLIMBS)],
+                       axis=1).reshape(m, -1, NLIMBS)
     return jnp.moveaxis(xt, -1, 0)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _base_ntt(F: Field, x, table, log_m: int):
     """Single-kernel NTT along axis 1 of x: (NLIMBS, m, B) with m = 2^log_m
-    <= MAX_BASE.  `table` (NLIMBS, m//2): powers of the m-th root of unity.
-    Input must already be bit-reversed along the m axis; output natural."""
+    <= MAX_BASE.  `table` (NLIMBS, log_m, m//2): per-stage EXPANDED
+    Stockham twiddles (row t holds w^(r*floor(j/r)) for j < m/2, r = 2^t).
+
+    Stockham radix-2 (self-sorting): natural-order input AND output — the
+    DIT kernel this replaces needed a bit-reversal `take` on the m axis
+    before every base call, a full-array HBM gather per recursion level.
+    Per stage: split the m axis in halves a/b, then s = a+b,
+    d = (a-b)*w, written interleaved as (l, 2, r) -> m."""
     if jax.default_backend() == "cpu":
         return _base_ntt_jnp(F, x, table, log_m)
     from jax.experimental import pallas as pl
@@ -89,27 +99,22 @@ def _base_ntt(F: Field, x, table, log_m: int):
         # allocator can reuse the butterfly temporaries between the unrolled
         # stages (pure-value chaining kept ALL stages' temps live at once
         # and blew the 16MB scoped-VMEM limit)
-        for s in range(1, log_m + 1):
-            bs = 1 << s
-            h = bs // 2
-            src = x_ref if s == 1 else v_ref
-            v = [src[i].reshape(m // bs, bs, tile) for i in range(NLIMBS)]
-            e = [l[:, :h] for l in v]
-            o = [l[:, h:] for l in v]
-            if s == 1:
-                t = o
-            else:
-                # stage-packed twiddles: row s-1 holds wm^(stride*j), j<h —
-                # a static slice (Mosaic has no strided slice / 1-D gather)
-                tw = [t_ref[i][s - 1, :h][None, :, None]
-                      for i in range(NLIMBS)]
-                t = _mont_mul_body(F, o, tw)
-            a = _add_body(F, e, t)
-            b = _sub_body(F, e, t)
-            dst = o_ref if s == log_m else v_ref
+        for t in range(log_m):
+            src = x_ref if t == 0 else v_ref
+            a = [src[i][:half] for i in range(NLIMBS)]
+            b = [src[i][half:] for i in range(NLIMBS)]
+            s = _add_body(F, a, b)
+            d = _sub_body(F, a, b)
+            if t < log_m - 1:      # last stage's twiddles are all 1
+                tw = [t_ref[i][t][:, None] for i in range(NLIMBS)]
+                d = _mont_mul_body(F, d, tw)
+            l = m >> (t + 1)
+            r = 1 << t
+            dst = o_ref if t == log_m - 1 else v_ref
             for i in range(NLIMBS):
-                dst[i] = jnp.concatenate(
-                    [a[i], b[i]], axis=1).reshape(m, tile)
+                dst[i] = jnp.stack(
+                    [s[i].reshape(l, r, tile), d[i].reshape(l, r, tile)],
+                    axis=1).reshape(m, tile)
 
     return pl.pallas_call(
         kernel,
@@ -166,19 +171,18 @@ class FusedNTT:
                 w = self.omega_inv_int if inv else self.omega_int
                 wm = pow(w, self.n >> log_m, self.F.p)
                 ptab = _pow_table_host(self.F, wm, half)   # (half, L)
-                # stage-packed: row s-1 = ptab[::stride][:h], h = 2^(s-1)
+                # Stockham stage twiddles, EXPANDED per stage: row t holds
+                # wm^(r * floor(j/r)) for j < m/2 with r = 2^t (natural
+                # in/out order — no bit-reversal gather anywhere)
                 stage = np.zeros((max(log_m, 1), half, NLIMBS), np.uint32)
-                for s in range(1, log_m + 1):
-                    h = 1 << (s - 1)
-                    stride = (1 << log_m) >> s
-                    stage[s - 1, :h] = ptab[::stride][:h]
+                j = np.arange(half)
+                for t in range(log_m):
+                    r = 1 << t
+                    stage[t] = ptab[(j // r) * r]
                 with jax.ensure_compile_time_eval():
                     self._arrays[f"{log_m}:{int(inv)}:base"] = jnp.asarray(
                         np.moveaxis(stage, -1, 0))         # (L, log_m, half)
             self._plan_info[log_m] = ("base",)
-            with jax.ensure_compile_time_eval():
-                self._arrays[f"{log_m}:rev"] = jnp.asarray(
-                    bit_reverse_indices(log_m))
             return
         l1 = min(LOG_MAX_BASE, (log_m + 1) // 2)
         l2 = log_m - l1
@@ -221,8 +225,6 @@ class FusedNTT:
         F = self.F
         plan = self._plan_info[log_m]
         if plan[0] == "base":
-            rev = arrays[f"{log_m}:rev"]
-            x = jnp.take(x, rev, axis=1)
             return _base_ntt(F, x, arrays[f"{log_m}:{int(inv)}:base"], log_m)
         _, l1, l2 = plan
         n1, n2 = 1 << l1, 1 << l2

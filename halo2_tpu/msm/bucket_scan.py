@@ -566,6 +566,55 @@ def msm_windowed_cached(curve: Curve, scalars_mont, padded_rows, c: int = 13,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def msm_unbaked_rows(curve: Curve, packed_keys, base_rows, c: int,
+                     block: int = 16):
+    """Window-chunk MSM over UNBAKED base rows.
+
+    packed_keys: (wc, n) signed-packed digits (|d|*2 + sign) for wc
+    consecutive windows; base_rows: (n, pad) tile-aligned affine base
+    table with the window factor NOT baked in (the gather indexes
+    perm % n).  Each window gets its own tagged bucket space; one sort +
+    one scan reduces all wc windows, then per-window weighted folds and a
+    Horner combine with c doublings per window.  Returns
+    sum_{i<wc} fold_i * 2^(c*i) — the caller scales by 2^(c*w0) when
+    combining chunks.
+
+    Replaces the baked `window_bases` tables for large fixed-base MSMs:
+    at k=20 the baked tables cost nw*n padded rows resident in HBM
+    (5.4 GB per base set at c=13) plus a multi-GB build transient — the
+    unbaked table is n rows (0.5 GB), at the price of c doublings per
+    window in the fold (trivial)."""
+    wc, n = packed_keys.shape
+    nb = (1 << (c - 1)) + 1
+    bucket = packed_keys >> 1
+    sign = packed_keys & 1
+    keys = ((bucket + jnp.arange(wc, dtype=jnp.int32)[:, None] * nb) * 2
+            + sign).reshape(-1)
+    keys_s, perm = sort_perm(keys)
+    xy, inf_s = unpack_affine_rows(jnp.take(base_rows, perm % n, axis=0))
+    buckets = bucket_sums(curve, keys_s, xy, inf_s, wc * nb, block,
+                          packed=True)
+    buckets = buckets.reshape(wc, nb, 3, NLIMBS)
+    per_window = jax.vmap(
+        lambda b: weighted_bucket_fold(curve, b))(buckets)
+
+    def horner(i, acc):
+        for _ in range(c):
+            acc = curve.double(acc)
+        return curve.add(acc, per_window[wc - 1 - i])
+
+    return jax.lax.fori_loop(0, wc, horner, curve.identity(()))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def shift_add(curve: Curve, acc, k_doublings: int, part):
+    """acc * 2^k_doublings + part (chunk combine for msm_unbaked_rows)."""
+    for _ in range(k_doublings):
+        acc = curve.double(acc)
+    return curve.add(acc, part)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def msm_variable(curve: Curve, scalars_mont, points, c: int = 8,
                  block: int = 64):
     """Variable-base MSM (the general `best_multiexp`): per-window bucket

@@ -87,23 +87,27 @@ def window_bases(curve: Curve, points, c: int = 13):
 
 
 class CachedMSM:
-    """Fixed-base MSM engine with resident AFFINE window bases (the
-    `MsmAccel` descriptor API equivalent).  The window factor 2^(c*w) is
-    baked into the bases, so every MSM is one sort + one segmented scan
-    over a single 2^c-bucket space.  Bases live as tile-aligned padded
-    rows (bucket_scan.pad_width) so the by-digit gather moves whole
-    128-lane tiles.
+    """Fixed-base MSM engine with resident AFFINE bases (the `MsmAccel`
+    descriptor API equivalent).  Two modes, picked by the baked table's
+    memory footprint:
 
-    When n_windows*n exceeds `max_rows` (default 2^23), the dispatch is
-    CHUNKED over window groups: each group is an independent sort + scan
-    over the shared bucket space and the partial sums point-add.  This
-    bounds the sort/gather transient (~rows x 3 x row_bytes) so k=20-22
-    commitments coexist with the prover's extended-domain state in HBM —
-    and each chunk's rows can use the faster 64/128-lane padding that a
-    monolithic 21M-row table cannot (pad_width's 2 GiB ceiling)."""
+    - BAKED (n_windows*n rows fit `max_baked_bytes`, ~k<=18): the window
+      factor 2^(c*w) is pre-doubled into the bases, so every MSM is one
+      sort + one segmented scan over a single 2^(c-1)+1-bucket space —
+      the fastest shape (150 ms at k=18 on v5e; the tails machinery
+      scales with bucket count, so ONE shared space wins).
+    - UNBAKED (k>=20): bases packed once as n rows (0.5 GB at k=20 vs
+      5.4 GB baked), each window chunk tags its own bucket space and
+      `msm_unbaked_rows` folds with doublings.  ~3x slower per MSM
+      (82k-bucket tails), but it is the difference between fitting HBM
+      alongside the prover state and OOM.
+
+    Window CHUNKING (groups of `max_rows // n` windows) bounds the
+    sort/gather transient in both modes."""
 
     def __init__(self, curve: Curve, points, c: int | None = None,
-                 block: int = 16, max_rows: int = 1 << 23):
+                 block: int = 16, max_rows: int = 1 << 23,
+                 max_baked_rows: int = 1 << 23):
         from .bucket_scan import n_windows_for
         self.curve = curve
         self.c = c = auto_c(points.shape[0]) if c is None else c
@@ -114,45 +118,85 @@ class CachedMSM:
         wc = max(1, min(nw, max_rows // max(n, 1)))
         self.window_chunk = wc
         self.bounds = [(w0, min(w0 + wc, nw)) for w0 in range(0, nw, wc)]
+        # 2^23 baked rows = 2.1 GB at pad 64 (k=18: 5.24M rows, baked);
+        # k>=19 overflows both the table and the build transient -> unbaked
+        self.baked = nw * n <= max_baked_rows
+        if not self.baked:
+            # tighter chunking: the unbaked path coexists with the k>=20
+            # prover's extended-domain state, so bound the per-dispatch
+            # sort/gather transient at ~2 GB (4M rows x 128-lane pad)
+            wc = max(1, min(nw, (1 << 22) // max(n, 1)))
+            self.window_chunk = wc
+            self.bounds = [(w0, min(w0 + wc, nw))
+                           for w0 in range(0, nw, wc)]
         # AOT-cached programs (aot.py): the full-size MSM is ~25MB of MLIR
         # and costs minutes of host tracing per process; the exported
-        # artifacts load in ~0.1s in every later process.  The window-table
-        # build is traced/exported the same way.
+        # artifacts load in ~0.1s in every later process.
         from ..aot import aot
-        from .bucket_scan import msm_windowed_cached as _mwc
-        from .bucket_scan import msm_packed_rows as _mpr
         salt = f"{curve.name}-c{c}-b{block}"
-        bounds = self.bounds
 
-        def _build_tables(pts):
-            wb = window_bases(curve, pts, c)               # (nw, n, 3, L)
-            outs = []
-            for w0, w1 in bounds:
-                flat = wb[w0:w1].reshape(-1, 3, NLIMBS)
-                aff = curve.batch_normalize(flat)          # (m, 2+, L)
-                inf = curve.is_identity(flat)
-                outs.append(pack_affine_rows(
-                    curve, aff[:, :2, :], inf, pad_width(flat.shape[0])))
-            return tuple(outs)
+        if self.baked:
+            from .bucket_scan import msm_windowed_cached as _mwc
+            from .bucket_scan import msm_packed_rows as _mpr
+            bounds = self.bounds
 
-        self.wchunks = list(aot(
-            jax.jit(_build_tables), "msm_window_tables",
-            salt + f"-wc{wc}")(points))
-        self._aot_single = aot(
-            jax.jit(lambda s, r: _mwc(curve, s, r, c, block)),
-            "msm_windowed_cached", salt)
-        self._aot_chunk = aot(
-            jax.jit(lambda p, r: _mpr(curve, p, r, c, block)),
-            "msm_packed_rows", salt)
+            def _build_tables(pts):
+                wb = window_bases(curve, pts, c)           # (nw, n, 3, L)
+                outs = []
+                for w0, w1 in bounds:
+                    flat = wb[w0:w1].reshape(-1, 3, NLIMBS)
+                    aff = curve.batch_normalize(flat)      # (m, 2+, L)
+                    inf = curve.is_identity(flat)
+                    outs.append(pack_affine_rows(
+                        curve, aff[:, :2, :], inf, pad_width(flat.shape[0])))
+                return tuple(outs)
+
+            self.wchunks = list(aot(
+                jax.jit(_build_tables), "msm_window_tables",
+                salt + f"-wc{wc}")(points))
+            self._aot_single = aot(
+                jax.jit(lambda s, r: _mwc(curve, s, r, c, block)),
+                "msm_windowed_cached", salt)
+            self._aot_chunk = aot(
+                jax.jit(lambda p, r: _mpr(curve, p, r, c, block)),
+                "msm_packed_rows", salt)
+        else:
+            from .bucket_scan import msm_unbaked_rows as _mur
+
+            def _pack_base(pts):
+                aff = curve.batch_normalize(pts)           # (n, 2+, L)
+                inf = curve.is_identity(pts)
+                return pack_affine_rows(curve, aff[:, :2, :], inf,
+                                        pad_width(n))
+
+            self.rows = aot(jax.jit(_pack_base), "msm_base_rows",
+                            salt)(points)
+            self._aot_unbaked = aot(
+                jax.jit(lambda p, r: _mur(curve, p, r, c, block)),
+                "msm_unbaked_rows", salt)
 
     @property
     def wbases(self):
         """Back-compat view for introspection/benchmarks."""
-        return self.wchunks[0]
+        return self.wchunks[0] if self.baked else self.rows
 
     def __call__(self, scalars_mont):
-        from .bucket_scan import packed_digits
+        from .bucket_scan import packed_digits, shift_add
         n = scalars_mont.shape[0]
+        if not self.baked:
+            rows = self.rows if n == self.n else self.rows[:n]
+            packed = packed_digits(self.curve, scalars_mont, self.c)
+            acc = None
+            prev_w0 = None
+            for (w0, w1) in reversed(self.bounds):
+                part = self._aot_unbaked(packed[w0:w1], rows)
+                if acc is None:
+                    acc = part
+                else:
+                    acc = shift_add(self.curve, acc,
+                                    self.c * (prev_w0 - w0), part)
+                prev_w0 = w0
+            return acc
         if len(self.bounds) == 1 and n == self.n:
             return self._aot_single(scalars_mont, self.wchunks[0])
         packed = packed_digits(self.curve, scalars_mont, self.c)

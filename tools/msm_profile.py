@@ -66,49 +66,67 @@ def main():
     print(f"k={k} n={n} devices={jax.devices()}")
     t0 = time.time()
     engine = CachedMSM(curve, pts)
-    _fetch(engine.wchunks[0][:1, :1])
+    _fetch(engine.rows[:1, :1])
     c = engine.c
     nw = engine.n_windows
-    print(f"window precompute: {time.time()-t0:.1f}s  c={c} nw={nw} "
-          f"chunks={len(engine.bounds)} pad={engine.wchunks[0].shape[1]}")
+    print(f"base-row pack: {time.time()-t0:.1f}s  c={c} nw={nw} "
+          f"chunks={len(engine.bounds)} pad={engine.rows.shape[1]}")
 
     scal = F.to_mont(jax.random.randint(
         jax.random.PRNGKey(7), (n, 16), 0, 1 << 16,
         dtype=jnp.int32).astype(jnp.uint32))
     _fetch(scal[0])
 
-    rows = engine.wchunks[0]
-    M = rows.shape[0]
+    rows = engine.rows
+    M = engine.n * nw
 
     # full pipeline
     _, t_full = timed("full cached MSM", engine, scal, reps=3)
 
     # 1. digit decomposition
-    digits_fn = jax.jit(lambda s: bs.packed_digits(curve, s, c))
-    (packed,), t_dig = timed("packed_digits", lambda s: (digits_fn(s),), scal)
+    def dig(s):
+        pk = bs.packed_digits(curve, s, c)
+        nb_ = (1 << (c - 1)) + 1
+        return (((pk >> 1) + jnp.arange(nw, dtype=jnp.int32)[:, None] * nb_)
+                * 2 + (pk & 1))
+    digits_fn = jax.jit(dig)
+    (packed,), t_dig = timed("packed_digits+tag",
+                             lambda s: (digits_fn(s),), scal)
     flat_keys = packed.reshape(-1)
 
     # 2. key sort (+iota permutation)
     sortf = jax.jit(lambda x: bs.sort_perm(x))
     (keys_s, perm), t_sort = timed("sort_perm (keys+iota)", sortf, flat_keys)
 
-    # 3. row gather by permutation (rows passed as an ARGUMENT: a closed-
-    # over 2GB table would be captured as a jit constant and shipped inside
-    # the HLO to the remote compiler)
-    gat = jax.jit(lambda r, p: jnp.take(r, p, axis=0))
+    # 3. row gather by permutation mod n (rows passed as an ARGUMENT: a
+    # closed-over table would be captured as a jit constant and shipped
+    # inside the HLO to the remote compiler)
+    n_base = engine.n
+    gat = jax.jit(lambda r, p: jnp.take(r, p % n_base, axis=0))
     rows_s, t_gather = timed("row gather", gat, rows, perm)
 
     # 4. segmented scan to bucket sums (includes tails + all levels)
     xy, inf_s = bs.unpack_affine_rows(rows_s)
     nb = (1 << (c - 1)) + 1
     bsum = jax.jit(lambda ks, a, b: bs.bucket_sums(
-        curve, ks, a, b, nb, engine.block, packed=True))
+        curve, ks, a, b, nw * nb, engine.block, packed=True))
     buckets, t_scan = timed("bucket_sums (scan+tails)", bsum, keys_s, xy,
                             inf_s, reps=3)
 
-    # 5. weighted fold
-    wf = jax.jit(lambda b: bs.weighted_bucket_fold(curve, b))
-    _, t_fold = timed("weighted_bucket_fold", wf, buckets)
+    # 5. per-window weighted folds + Horner doublings
+    import numpy as _np
+    from halo2_tpu.fields.field import NLIMBS as _L
+
+    def fold_all(b):
+        per = jax.vmap(lambda x: bs.weighted_bucket_fold(curve, x))(
+            b.reshape(nw, nb, 3, _L))
+        def horner(i, acc):
+            for _ in range(c):
+                acc = curve.double(acc)
+            return curve.add(acc, per[nw - 1 - i])
+        return jax.lax.fori_loop(0, nw, horner, curve.identity(()))
+    wf = jax.jit(fold_all)
+    _, t_fold = timed("per-window folds + horner", wf, buckets)
 
     parts = t_dig + t_sort + t_gather + t_scan + t_fold
     print(f"{'sum of parts':28s} {parts*1e3:9.2f} ms  "

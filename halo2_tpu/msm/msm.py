@@ -133,7 +133,8 @@ class CachedMSM:
         # and costs minutes of host tracing per process; the exported
         # artifacts load in ~0.1s in every later process.
         from ..aot import aot
-        salt = f"{curve.name}-c{c}-b{block}"
+        from .bucket_scan import _lanes
+        salt = f"{curve.name}-c{c}-b{block}-l{_lanes()}"
 
         if self.baked:
             from .bucket_scan import msm_windowed_cached as _mwc

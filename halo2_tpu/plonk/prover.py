@@ -526,10 +526,17 @@ class Prover:
         beta = t.squeeze_challenge()
         gamma = t.squeeze_challenge()
 
+        import os as _os
+        _dbg = _os.environ.get("HALO2_TPU_STEP_TIMINGS") == "1"
+        _t9 = time.time()
         # [TRANSCRIPT-9] permutation grand products
         with self._scope("permutation_commit T9"):
             permutations_z = [self._permutation_commit(c, beta, gamma)
                               for c in range(n_circ)]
+        if _dbg:
+            print(f"    [T9] permutation_commit: {time.time()-_t9:.2f}s",
+                  flush=True)
+            _t9 = time.time()
 
         # [TRANSCRIPT-10] lookup products
         lookups_committed = []
@@ -538,6 +545,10 @@ class Prover:
                 lookups_committed.append([
                     self._lookup_commit_product(pl, beta, gamma)
                     for pl in permuted_lookups[c]])
+        if _dbg:
+            print(f"    [T10] lookup_products: {time.time()-_t9:.2f}s",
+                  flush=True)
+            _t9 = time.time()
 
         # [TRANSCRIPT-11] shuffle products
         shuffles_committed = []
@@ -547,6 +558,9 @@ class Prover:
                     self._shuffle_commit_product(c, sh, theta, gamma,
                                                  challenges_enc)
                     for sh in cs.shuffles])
+        if _dbg:
+            print(f"    [T11] shuffle_products: {time.time()-_t9:.2f}s",
+                  flush=True)
 
         self._tick('grand_products [T9-11]')
         # [TRANSCRIPT-12] vanishing random poly — generated device-side from

@@ -80,16 +80,23 @@ def eval_polys_at_points(F: Field, requests):
         by_point.setdefault(int(point), []).append((idx, arr))
     out = [0] * len(requests)
     for point, items in by_point.items():
-        stack = jnp.stack([arr for _, arr in items], axis=0)
-        target = 1 << max(len(items) - 1, 0).bit_length()
-        if target > stack.shape[0]:
-            pad = jnp.zeros((target - stack.shape[0],) + stack.shape[1:],
-                            stack.dtype)
-            stack = jnp.concatenate([stack, pad], axis=0)
-        vals = _eval_many_at_point_jit(F, stack, F.encode_int(point))
-        ints = F.decode_ints(vals[: len(items)])
-        for (idx, _), v in zip(items, ints):
-            out[idx] = v
+        # bound the stacked transient: ~30 length-2^20 polys in one stack
+        # is 8.6 GB of HBM on top of the prover state (k=20 OOM class)
+        n_len = items[0][1].shape[-2]
+        max_stack = max(1, (1 << 23) // max(n_len, 1))
+        for off in range(0, len(items), max_stack):
+            chunk = items[off: off + max_stack]
+            stack = jnp.stack([arr for _, arr in chunk], axis=0)
+            target = 1 << max(len(chunk) - 1, 0).bit_length()
+            if target > stack.shape[0]:
+                pad = jnp.zeros(
+                    (target - stack.shape[0],) + stack.shape[1:],
+                    stack.dtype)
+                stack = jnp.concatenate([stack, pad], axis=0)
+            vals = _eval_many_at_point_jit(F, stack, F.encode_int(point))
+            ints = F.decode_ints(vals[: len(chunk)])
+            for (idx, _), v in zip(chunk, ints):
+                out[idx] = v
     return out
 
 

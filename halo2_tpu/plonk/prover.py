@@ -549,6 +549,12 @@ class Prover:
             print(f"    [T10] lookup_products: {time.time()-_t9:.2f}s",
                   flush=True)
             _t9 = time.time()
+        # free the permuted-lookup LAGRANGE intermediates (compressed +
+        # permuted columns): only the coeff polys inside lookups_committed
+        # are needed from here on — at k=20 with 4 lookups these hold
+        # ~1.6 GB of HBM through the h pass (the streamed-coset memory
+        # discipline of evaluation.rs:486-498 applied to the prover state)
+        permuted_lookups = None
 
         # [TRANSCRIPT-11] shuffle products
         shuffles_committed = []
@@ -573,10 +579,12 @@ class Prover:
             random_blind = Blind(rng.randrange(p))
             t.write_point(params.commit_affine(random_poly, random_blind))
 
-            # advice -> coeff form (basis-typed from here on)
+            # advice -> coeff form (basis-typed from here on); the lagrange
+            # form is dead past this point — free it (k>=20 HBM budget)
             advice_polys = [
                 domain.lagrange_to_coeff(Poly.lagrange(a)) if a.shape[0]
                 else Poly.coeff(a) for a in self.advice_values]
+            self.advice_values = None
 
         self._tick('vanishing_random [T12]')
         # [TRANSCRIPT-13] y; evaluate h

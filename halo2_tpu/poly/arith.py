@@ -14,6 +14,7 @@ execution:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -81,9 +82,15 @@ def eval_polys_at_points(F: Field, requests):
     out = [0] * len(requests)
     for point, items in by_point.items():
         # bound the stacked transient: ~30 length-2^20 polys in one stack
-        # is 8.6 GB of HBM on top of the prover state (k=20 OOM class)
+        # is 8.6 GB of HBM on top of the prover state (k=20 OOM class).
+        # The limb-product intermediates inside the batched Montgomery mul
+        # cost several times the input stack, so the row bound must stay
+        # well under HBM headroom: 2^21 rows = 2 polys at k=20 (measured:
+        # 2^23 still RESOURCE_EXHAUSTEDs at k=20 on a 16 GB v5e).
         n_len = items[0][1].shape[-2]
-        max_stack = max(1, (1 << 23) // max(n_len, 1))
+        max_rows = int(os.environ.get("HALO2_TPU_EVAL_STACK_ROWS",
+                                      str(1 << 21)))
+        max_stack = max(1, max_rows // max(n_len, 1))
         for off in range(0, len(items), max_stack):
             chunk = items[off: off + max_stack]
             stack = jnp.stack([arr for _, arr in chunk], axis=0)

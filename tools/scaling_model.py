@@ -129,8 +129,11 @@ def hlo_anchor(k: int = 10, d: int = 8) -> dict:
     """Compile the REAL ShardedNTT on a d-virtual-device mesh and count
     all-to-all ops in the optimized HLO.  Checks the model's hop count
     against the compiled program."""
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # env var alone is NOT enough: this environment's sitecustomize pins a
+    # remote-TPU platform; the config update must win before backend init
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+    jax.config.update("jax_platforms", "cpu")
     if len(jax.devices()) < d:
         return {"skipped": f"only {len(jax.devices())} devices"}
     from halo2_tpu.dist import make_mesh
@@ -138,11 +141,16 @@ def hlo_anchor(k: int = 10, d: int = 8) -> dict:
     from halo2_tpu.fields import PASTA_FP as F
 
     mesh = make_mesh(d)
-    sntt = ShardedNTT(F, k, mesh)
+    sntt = ShardedNTT(mesh, F, k)
     x = F.ones((1 << k,))
     lowered = jax.jit(sntt.forward).lower(x)
     hlo = lowered.compile().as_text()
-    n_a2a = hlo.count("all-to-all")
+    # count DEFINITION sites only: tuple-form ops read
+    #   %all-to-all.N = (u32[...], ...) all-to-all(...)
+    # and are then referenced by 8 get-tuple-elements each — a raw
+    # substring count inflates 3 ops to ~30 mentions.
+    import re
+    n_a2a = len(re.findall(r"%all-to-all[.\d]* = ", hlo))
     return {"k": k, "d": d, "all_to_all_ops_in_hlo": n_a2a}
 
 

@@ -198,33 +198,75 @@ def stage_micro():
 
     # ---- roofline: peak Montgomery-mul throughput (the speed-of-light
     # denominator for every field kernel; BASELINE ">80% of roofline").
-    # Chained on-device: elapsed must dwarf the rtt.
+    #
+    # Methodology (round-5 correction): rounds 1-4 measured this by
+    # chaining whole-array F.mul DISPATCHES in a fori_loop, which reported
+    # 13.2G muls/s — an artifact: at 192 B of HBM traffic per streamed
+    # mul that implies 2.5 TB/s on an 819 GB/s chip.  The honest
+    # speed-of-light is the ALU-bound rate: data resident in VMEM, `reps`
+    # dependent Montgomery muls per element inside ONE pallas kernel
+    # (tools/alu_probe.py).  Measured ~2G muls/s on v5e — consistent with
+    # the VPU's u32 multiply throughput and the ~2.5k-op limb kernel.
     rk = 1 << 21
     a0 = rand_scalars(77)[:rk]
     b0 = rand_scalars(78)[:rk]
 
-    mul_reps = 64
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from halo2_tpu.fields.field import NLIMBS
+    from halo2_tpu.fields.pallas_ops import _mont_mul_body
 
-    def mul_chain(reps):
+    MUL_TILE = 2048
+
+    def mul_alu_kernel(reps):
+        def kernel(a_ref, b_ref, o_ref):
+            aa = [a_ref[i] for i in range(NLIMBS)]
+            bb = [b_ref[i] for i in range(NLIMBS)]
+            out = jax.lax.fori_loop(
+                0, reps, lambda _, v: _mont_mul_body(F, v, bb), aa)
+            for i in range(NLIMBS):
+                o_ref[i] = out[i]
+
         @jax.jit
-        def run(x, b):
-            return jax.lax.fori_loop(0, reps, lambda i, v: F.mul(v, b), x)
+        def run(at, bt):
+            return pl.pallas_call(
+                kernel,
+                grid=(rk // MUL_TILE,),
+                in_specs=[pl.BlockSpec((NLIMBS, MUL_TILE), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec((NLIMBS, MUL_TILE), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((NLIMBS, rk), jnp.uint32),
+            )(at, bt)
         return run
 
-    fnm = mul_chain(mul_reps)
-    _fetch(fnm(a0, b0)[0])   # compile + first
+    at = jnp.moveaxis(a0, -1, 0).reshape(NLIMBS, rk)
+    bt = jnp.moveaxis(b0, -1, 0).reshape(NLIMBS, rk)
+    mul_reps = 64
+    fnm = mul_alu_kernel(mul_reps)
+    _fetch(fnm(at, bt)[0, :1])   # compile + first
     while True:
         t0 = time.time()
-        _fetch(fnm(a0, b0)[0])
+        _fetch(fnm(at, bt)[0, :1])
         elapsed = time.time() - t0
         if elapsed > max(0.5, 10 * rtt):
             break
         mul_reps *= 4
-        fnm = mul_chain(mul_reps)
-        _fetch(fnm(a0, b0)[0])
+        fnm = mul_alu_kernel(mul_reps)
+        _fetch(fnm(at, bt)[0, :1])
     mul_rate = rk * mul_reps / (elapsed - rtt)
-    log(f"field mul: {mul_rate/1e6:,.0f} M muls/s "
-        f"({mul_reps} chained, elapsed {elapsed:.2f}s)")
+    log(f"field mul (ALU, in-kernel x{mul_reps}): "
+        f"{mul_rate/1e6:,.0f} M muls/s (elapsed {elapsed:.2f}s)")
+    # sanity: the rate must not imply >819 GB/s if it WERE streamed — that
+    # is the round-1..4 artifact this methodology replaces.  The ALU rate
+    # has no per-mul HBM traffic, so the guard is on the streamed rate:
+    t0 = time.time()
+    _fetch(F.mul(a0, b0)[0, :1])
+    stream_elapsed = max(time.time() - t0 - rtt, 1e-4)
+    mul_stream_rate = rk / stream_elapsed
+    log(f"field mul (HBM-streamed single pass): "
+        f"{mul_stream_rate/1e6:,.0f} M muls/s "
+        f"({mul_stream_rate*192/1e9:.0f} GB/s implied)")
 
     c_used = auto_c(n)
     n_win = n_windows_for(F, c_used)
@@ -245,7 +287,10 @@ def stage_micro():
     # round-2 postmortem guard: a fraction outside (0, 1.2) means the
     # measurement methodology degenerated (e.g. rtt subtraction clamped);
     # refuse to publish garbage.
-    assert 1e8 < mul_rate < 1e13, f"implausible mul rate {mul_rate:.3g}"
+    assert 1e8 < mul_rate < 1e11, f"implausible mul rate {mul_rate:.3g}"
+    assert mul_stream_rate * 192 < 850e9, (
+        f"streamed mul rate implies {mul_stream_rate*192/1e9:.0f} GB/s "
+        "> chip HBM bandwidth - measurement artifact (see r5 methodology note)")
     assert 0 < msm_frac < 1.2, f"degenerate msm fraction {msm_frac:.3g}"
     assert 0 < ntt_frac < 1.2, f"degenerate ntt fraction {ntt_frac:.3g}"
 
@@ -254,6 +299,10 @@ def stage_micro():
         "ntt_elems_per_sec": round(ntt_rate),
         "roofline": {
             "field_mul_per_s": round(mul_rate),
+            "field_mul_methodology": "ALU-bound: VMEM-resident in-kernel "
+                "repeat (r1-r4 chained-dispatch number was an artifact "
+                "implying >HBM-bandwidth traffic)",
+            "field_mul_stream_per_s": round(mul_stream_rate),
             "msm_roofline_pts_per_s": round(msm_roofline),
             "msm_fraction": round(msm_frac, 3),
             "ntt_roofline_elems_per_s": round(ntt_roofline),

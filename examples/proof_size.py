@@ -65,8 +65,12 @@ def main(k: int = 11):
     print(json.dumps(model, indent=2))
 
     cost = CircuitCost.measure(k, TestCircuit())
+    from halo2_tpu.dev.cost_model import calibrate_verifier
+    cal = calibrate_verifier()
     for scheme in ("ipa", "kzg-gwc", "kzg-shplonk"):
-        print(f"{scheme}: ~{cost.proof_size(scheme)} bytes")
+        vt = cost.verification_time(scheme, calibration=cal)
+        print(f"{scheme}: ~{cost.proof_size(scheme)} bytes, "
+              f"verification at least {vt*1e3:.3f}ms")
 
 
 if __name__ == "__main__":

@@ -47,18 +47,26 @@ class TpuMsmEngine(H2cEngine):
         self.c = c
         self.block = block
         self.mesh = mesh
+        # id(bases) -> (bases, descriptor).  The strong reference to the
+        # bases array is part of the contract: it pins the object alive for
+        # the cache's lifetime, so a recycled id() can never serve a stale
+        # window table for a different array (the id is only compared
+        # against live keys).
         self._cache: Dict[int, Any] = {}
 
     def get_base_descriptor(self, curve: Curve, bases):
         key = id(bases)
-        if key not in self._cache:
-            if self.mesh is not None:
-                from .dist.msm import ShardedCachedMSM
-                self._cache[key] = ShardedCachedMSM(
-                    self.mesh, curve, bases, self.c, self.block)
-            else:
-                self._cache[key] = CachedMSM(curve, bases, self.c, self.block)
-        return self._cache[key]
+        hit = self._cache.get(key)
+        if hit is not None and hit[0] is bases:
+            return hit[1]
+        if self.mesh is not None:
+            from .dist.msm import ShardedCachedMSM
+            desc = ShardedCachedMSM(self.mesh, curve, bases, self.c,
+                                    self.block)
+        else:
+            desc = CachedMSM(curve, bases, self.c, self.block)
+        self._cache[key] = (bases, desc)
+        return desc
 
     def msm_with_cached_base(self, curve: Curve, coeffs, base_desc):
         return base_desc(coeffs)

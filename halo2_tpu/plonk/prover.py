@@ -475,14 +475,27 @@ class Prover:
     def _tick(self, name: str):
         """Record wall time since the previous tick under `name`.  The
         transcript's host fetches make the prover synchronous at every
-        commitment, so these are honest step times ([TRANSCRIPT-N] table;
-        SURVEY §5.1 profiling methodology)."""
+        commitment boundary; tick boundaries that are NOT commitment
+        boundaries (T13/T14) must first call `_sync` on the step's output,
+        or the dispatched-but-unfinished device work gets billed to the
+        next step ([TRANSCRIPT-N] table; SURVEY §5.1 profiling
+        methodology; VERDICT r4 weak #4)."""
         import time
         now = time.time()
         if getattr(self, "_t_last", None) is not None:
             self.timings[name] = self.timings.get(name, 0.0) + (
                 now - self._t_last)
         self._t_last = now
+
+    @staticmethod
+    def _sync(x):
+        """Force completion of the device computation producing `x`.  A
+        one-element fetch, not block_until_ready: the remote-TPU tunnel
+        treats block_until_ready as a no-op, so a tiny host fetch is the
+        only honest synchronization point."""
+        import numpy as np
+        if x is not None:
+            np.asarray(jax.tree.leaves(x)[0].ravel()[:1])
 
     def _scope(self, name: str):
         """jax.profiler named scope per [TRANSCRIPT-N] step (SURVEY §5.1):
@@ -600,6 +613,7 @@ class Prover:
                 [[sh["product_poly"] for sh in shc]
                  for shc in shuffles_committed],
                 [[s["poly"] for s in pz] for pz in permutations_z])
+            self._sync(h_ext)
 
         self._tick('evaluate_h [T13]')
         # [TRANSCRIPT-14] h pieces

@@ -37,7 +37,15 @@ def test_cost_model():
     assert cost.permutation_columns == 4   # instance + constant + 2 advice
     for scheme in ("ipa", "kzg-gwc", "kzg-shplonk"):
         assert cost.proof_size(scheme) > 0
-    assert "proof_size" in cost.to_json()
+        # verification-time model (book dev-tools.md:113): IPA pays the
+        # 2^k b-vector MSM, so it must dominate the KZG estimates
+        assert cost.verification_time(scheme) > 0
+    assert cost.verification_time("ipa") > cost.verification_time(
+        "kzg-shplonk") - 0.35  # minus the pairing constant
+    sizes = cost.verifier_msm_sizes("ipa")
+    assert (1 << cost.k) in sizes
+    j = cost.to_json()
+    assert "proof_size" in j and "verification_time_s" in j
 
 
 def test_circuit_gates():

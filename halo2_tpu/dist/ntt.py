@@ -14,6 +14,17 @@ global transpose so the output comes back in natural order, sharded on the
 same row axis it arrived on.  All compute between exchanges is the same
 single-chip NTT code (Pallas-fused for large local sizes).
 
+Multi-host: pass a 2-D ``(hosts, rows)`` mesh (dist/multihost.py
+``hybrid_mesh``) and the array shards over BOTH axes jointly — the
+all-to-alls run over the combined axis tuple, so on a multi-host v5p
+slice XLA routes them over the pod's ICI torus (hosts in a v5p pod are
+ICI-connected; DCN is only crossed between pods).  On NIC-connected
+hosts (v5e-style) each of the three exchanges moves (H-1)/H of the slab
+over the NIC — tools/scaling_model.py models both profiles honestly; a
+blocked-natural-order four-step cannot do better than three global
+exchanges (one-exchange variants require cyclic input/output layouts,
+which the prover's natural-order polynomial contract does not use).
+
 The inter-step twiddle w^(i2·k1) depends on the chip's i2 slice, so it is
 fed in as a sharded argument (the w^(i2) bases) and expanded on-chip by
 log(n1) batched squarings — never materialized globally.
@@ -70,7 +81,12 @@ class ShardedNTT:
         self.F = F
         self.log_n = log_n
         self.n = 1 << log_n
-        self.n_dev = mesh.shape[ROW_AXIS]
+        # 1-D ("rows") or multi-axis ((hosts, rows)) meshes: shard and
+        # exchange over ALL mesh axes jointly
+        self.axes = tuple(mesh.axis_names)
+        self.n_dev = 1
+        for a in self.axes:
+            self.n_dev *= mesh.shape[a]
         if omega_int is None:
             assert log_n <= F.S
             omega_int = pow(F.root_of_unity, 1 << (F.S - log_n), F.p)
@@ -97,7 +113,7 @@ class ShardedNTT:
             if ntt.log_n >= fused_min_logn():
                 ntt._fused()
         # w^(i2) bases for the inter-step twiddle, sharded on i2
-        shard = jax.sharding.NamedSharding(mesh, P(ROW_AXIS, None))
+        shard = jax.sharding.NamedSharding(mesh, P(self.axes, None))
         self.tw_f = jax.device_put(powers(F, F.encode_int(omega_int), n2),
                                    shard)
         self.tw_i = jax.device_put(powers(F, F.encode_int(omega_inv), n2),
@@ -111,14 +127,16 @@ class ShardedNTT:
         ntt1 = self.ntt1_i if inverse else self.ntt1_f
         ntt2 = self.ntt2_i if inverse else self.ntt2_f
         n_inv = self.n_inv
+        axes = self.axes
+        ax = axes if len(axes) > 1 else axes[0]
 
         @functools.partial(
             shard_map, mesh=self.mesh,
-            in_specs=(P(ROW_AXIS, None, None), P(ROW_AXIS, None)),
-            out_specs=P(ROW_AXIS, None), check_vma=False)
+            in_specs=(P(axes, None, None), P(axes, None)),
+            out_specs=P(axes, None), check_vma=False)
         def go(x, tw_base):
             # x: (n1/D, n2, L) row slab; tw_base: (n2/D, L) = w^(i2) slice
-            x = jax.lax.all_to_all(x, ROW_AXIS, split_axis=1, concat_axis=0,
+            x = jax.lax.all_to_all(x, ax, split_axis=1, concat_axis=0,
                                    tiled=True)               # (n1, n2/D, L)
             # length-n1 transform down the columns
             x = jnp.swapaxes(x, 0, 1)                        # (n2/D, n1, L)
@@ -126,12 +144,12 @@ class ShardedNTT:
             x = jnp.swapaxes(x, 0, 1)                        # (n1, n2/D, L)
             # inter-step twiddle w^(i2·k1): per-column powers of w^(i2)
             x = F.mul(x, _col_powers(F, tw_base, n1))
-            x = jax.lax.all_to_all(x, ROW_AXIS, split_axis=0, concat_axis=1,
+            x = jax.lax.all_to_all(x, ax, split_axis=0, concat_axis=1,
                                    tiled=True)               # (n1/D, n2, L)
             # length-n2 transform along the rows
             x = _local_forward(ntt2, x)
             # global transpose -> natural order, row-sharded on k
-            x = jax.lax.all_to_all(x, ROW_AXIS, split_axis=1, concat_axis=0,
+            x = jax.lax.all_to_all(x, ax, split_axis=1, concat_axis=0,
                                    tiled=True)               # (n1, n2/D, L)
             x = jnp.swapaxes(x, 0, 1)                        # (n2/D, n1, L)
             x = x.reshape(-1, x.shape[-1])

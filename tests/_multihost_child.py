@@ -3,7 +3,11 @@ cluster.  Runs the sharded four-step NTT (dist/ntt.py ShardedNTT) over the
 GLOBAL 2-host x 4-device mesh and writes the full transformed vector (as
 hex ints) from process 0.
 
-Usage: python _multihost_child.py <process_id> <num_processes> <port> <k> <out>
+Usage: python _multihost_child.py <process_id> <num_processes> <port> <k> <out> [hybrid]
+
+With the optional "hybrid" arg the NTT runs over the 2-D (hosts, rows)
+mesh from dist/multihost.py hybrid_mesh — the multi-host axis layout
+whose all-to-alls run over the combined axis tuple (VERDICT r4 #3).
 """
 
 import os
@@ -30,7 +34,8 @@ def main():
                                      sys.argv[3], int(sys.argv[4]),
                                      sys.argv[5])
     from halo2_tpu.dist.multihost import (
-        init_multihost, global_mesh, put_row_sharded, allgather_rows)
+        init_multihost, global_mesh, hybrid_mesh, put_row_sharded,
+        allgather_rows)
     init_multihost(f"127.0.0.1:{port}", nproc, pid)
     assert jax.process_count() == nproc
     assert len(jax.devices()) == nproc * 4, "global mesh must span processes"
@@ -40,11 +45,18 @@ def main():
     from halo2_tpu.fields import BN254_FR as F
     from halo2_tpu.dist.ntt import ShardedNTT
 
-    mesh = global_mesh()
+    use_hybrid = len(sys.argv) > 6 and sys.argv[6] == "hybrid"
+    mesh = hybrid_mesh() if use_hybrid else global_mesh()
     ntt = ShardedNTT(mesh, F, k)
     coeffs = F.rand_ints(1 << k, random.Random(77))
     a_host = np.asarray(F.encode_ints(coeffs))
-    a = put_row_sharded(mesh, a_host)
+    if use_hybrid:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P(tuple(mesh.axis_names), None))
+        a = jax.make_array_from_callback(
+            a_host.shape, sharding, lambda idx: a_host[idx])
+    else:
+        a = put_row_sharded(mesh, a_host)
     # ShardedNTT.forward reshapes (n, L) -> (n1, n2, L); feed pre-shaped
     out = ntt._fwd(a.reshape(ntt.n1, ntt.n2, -1), ntt.tw_f)
     back = ntt._inv(out.reshape(ntt.n1, ntt.n2, -1), ntt.tw_i)

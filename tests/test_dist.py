@@ -143,3 +143,26 @@ def test_full_prover_on_mesh_bit_identical(tmp_path):
     vk2, proof2 = outs["mesh"]
     assert vk2 == vk1, "meshed keygen diverged from single-chip vk"
     assert proof2 == proof1, "meshed prover diverged from single-chip bytes"
+
+
+def test_sharded_ntt_on_hybrid_mesh_bit_identical(mesh):
+    """ShardedNTT over a 2-D (hosts, rows) hybrid mesh (the multi-host
+    axis layout, dist/multihost.py:63) must be bit-identical to both the
+    single-chip NTT and the 1-D-mesh ShardedNTT — the all-to-alls run
+    over the combined axis tuple (VERDICT r4 #3)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    F = PASTA_FP
+    log_n = 10
+    rng = random.Random(17)
+    a = F.encode_ints(F.rand_ints(1 << log_n, rng))
+    want = F.decode_ints(get_ntt(F, log_n).forward(a))
+
+    hybrid = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                  ("hosts", ROW_AXIS))
+    dist = ShardedNTT(hybrid, F, log_n)
+    got = F.decode_ints(dist.forward(a))
+    assert got == want
+    back = F.decode_ints(dist.inverse(dist.forward(a)))
+    assert back == F.decode_ints(a)

@@ -12,12 +12,14 @@ import subprocess
 import sys
 
 
-def test_sharded_ntt_across_two_processes(tmp_path):
+def _run_multihost(tmp_path, mode, port):
     child = os.path.join(os.path.dirname(__file__), "_multihost_child.py")
     K = 10
-    out = tmp_path / "mh.txt"
+    out = tmp_path / f"mh-{mode or 'flat'}.txt"
+    extra = [mode] if mode else []
     procs = [subprocess.Popen(
-        [sys.executable, child, str(i), "2", "29417", str(K), str(out)],
+        [sys.executable, child, str(i), "2", port, str(K), str(out)]
+        + extra,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for i in range(2)]
     for p in procs:
@@ -32,3 +34,14 @@ def test_sharded_ntt_across_two_processes(tmp_path):
     coeffs = F.rand_ints(1 << K, random.Random(77))
     want = F.decode_ints(get_ntt(F, K).forward(F.encode_ints(coeffs)))
     assert got == want, "multihost NTT diverged from single-process NTT"
+
+
+def test_sharded_ntt_across_two_processes(tmp_path):
+    _run_multihost(tmp_path, None, "29417")
+
+
+def test_sharded_ntt_across_two_processes_hybrid_mesh(tmp_path):
+    """Same 2-process cluster, but the NTT shards over the 2-D
+    (hosts, rows) hybrid mesh — the real multi-host axis layout
+    (VERDICT r4 #3): bit-identity with the single-process NTT."""
+    _run_multihost(tmp_path, "hybrid", "29431")

@@ -75,7 +75,7 @@ def main():
     scal = [rand_scalars(i, n) for i in range(runs)]
     _fetch(scal[-1][0])
 
-    for c in (6, 7, 8):
+    for c in (6, 7):
         try:
             t0 = time.time()
             tbl = bake_stream_table(curve, pts, c, 1024)

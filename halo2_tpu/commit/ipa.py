@@ -196,8 +196,9 @@ class ParamsIPA:
             # cached fixed-base engine (g/g_lagrange + w appended)
             key = id(bases)
             if key not in self._cached_msm:
+                from ..msm.msm import default_cached_msm
                 pts = jnp.concatenate([bases, self.w[None]], axis=0)
-                self._cached_msm[key] = CachedMSM(self.curve, pts)
+                self._cached_msm[key] = default_cached_msm(self.curve, pts)
             return self._cached_msm[key](scalars)
         pts = jnp.concatenate([bases[:n], self.w[None]], axis=0)
         return msm(self.curve, scalars, pts)
@@ -300,7 +301,8 @@ class MSMIPA:
             key = ("msmipa_g", id(self.params.g))
             cache = self.params._cached_msm
             if key not in cache:
-                cache[key] = CachedMSM(curve, self.params.g)
+                from ..msm.msm import default_cached_msm
+                cache[key] = default_cached_msm(curve, self.params.g)
             out = cache[key](F.encode_ints(self.g_scalars))
             if sparse is not None:
                 out = curve.add(out, curve.from_affine_ints([sparse])[0])

@@ -251,7 +251,8 @@ class ParamsKZG:
         if eng is not None:
             return eng.msm_backend.get_base_descriptor(self.curve, bases)
         if name not in self._cached_msm:
-            self._cached_msm[name] = CachedMSM(self.curve, bases)
+            from ..msm.msm import default_cached_msm
+            self._cached_msm[name] = default_cached_msm(self.curve, bases)
         return self._cached_msm[name]
 
     def commit(self, poly, blind: Blind = None):

@@ -38,15 +38,24 @@ class H2cEngine:
 
 
 class TpuMsmEngine(H2cEngine):
-    """Engine with HBM-resident window-base descriptors: fixed bases (the
-    SRS / Lagrange bases) are expanded once into affine window tables, so
-    repeated commitments cost one sort + one segmented scan each
-    (zal.rs:78-102 descriptor caching; msm/msm.py CachedMSM)."""
+    """Engine with HBM-resident base descriptors: fixed bases (the SRS /
+    Lagrange bases) are packed once into stream-layout tables, so repeated
+    commitments run the gather-free streaming scatter-bucket kernel
+    (zal.rs:78-102 descriptor caching; msm/stream_msm.py StreamMSM —
+    measured 1.55x the sorted sort+gather+scan pipeline on v5e and the
+    only shape whose k>=20 descriptor fits HBM beside the prover state).
 
-    def __init__(self, c: int | None = None, block: int = 16, mesh=None):
+    style: "stream" (default) | "sorted" (the round-1..4 sort + segmented
+    scan CachedMSM, kept for comparison and as the meshed path's basis)."""
+
+    def __init__(self, c: int | None = None, block: int = 16, mesh=None,
+                 style: str | None = None):
+        import os
         self.c = c
         self.block = block
         self.mesh = mesh
+        self.style = style or os.environ.get(
+            "HALO2_TPU_MSM_STYLE", "stream")
         # id(bases) -> (bases, descriptor).  The strong reference to the
         # bases array is part of the contract: it pins the object alive for
         # the cache's lifetime, so a recycled id() can never serve a stale
@@ -63,6 +72,9 @@ class TpuMsmEngine(H2cEngine):
             from .dist.msm import ShardedCachedMSM
             desc = ShardedCachedMSM(self.mesh, curve, bases, self.c,
                                     self.block)
+        elif self.style == "stream":
+            from .msm.stream_msm import StreamMSM
+            desc = StreamMSM(curve, bases, self.c)
         else:
             desc = CachedMSM(curve, bases, self.c, self.block)
         self._cache[key] = (bases, desc)

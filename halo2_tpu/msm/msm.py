@@ -212,6 +212,18 @@ class CachedMSM:
         return acc
 
 
+def default_cached_msm(curve: Curve, bases):
+    """Default fixed-base descriptor when no PlonkEngine is installed:
+    the streaming scatter-bucket engine on accelerators (stream_msm.py —
+    the fast path commitments use), the sorted pipeline on CPU (keeps the
+    test suite on its warm compile caches)."""
+    from ..fields.field import _use_pallas
+    if _use_pallas():
+        from .stream_msm import StreamMSM
+        return StreamMSM(curve, bases)
+    return CachedMSM(curve, bases)
+
+
 def msm(curve: Curve, scalars_mont, points, c: int | None = None,
         block: int = 64):
     """Dispatching MSM (the `best_multiexp` equivalent)."""

@@ -273,6 +273,166 @@ def msm_stream_baked(curve: Curve, scalars_mont, table_t, c: int,
     return weighted_bucket_fold(curve, buckets)
 
 
+def _stream_bucket_windows_pallas(curve: Curve, keys_t, table_t, nw: int,
+                                  nb: int, lanes: int):
+    """Per-window streaming bucket accumulation over an UNBAKED n-row
+    table: grid (nw, S) — window w re-streams the same table against its
+    own digit row and flushes its own (nb, 24, lanes) bucket block.
+
+    Same streamed bytes and same madd count as the baked kernel (the
+    baked table is nw*n rows streamed once; this is n rows streamed nw
+    times), but the resident table is n rows (75 MB at k=20) instead of
+    nw*n (3.2 GB) — the difference between fitting HBM beside the k>=20
+    prover state and not.  Costs per-window folds + a Horner combine
+    (~5% at k=20)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..curves.pallas_ec import _madd_body_ec
+    from ..fields.pallas_ops import _sub_body
+
+    F = curve.Fq
+    S = table_t.shape[0]
+    assert keys_t.shape[0] == nw * S
+    one_col = _one_mont_col(curve)
+    one_col_pk = [one_col[2 * q] | (one_col[2 * q + 1] << 16)
+                  for q in range(ACC_ROWS_PK)]
+    H = NLIMBS // 2
+
+    def kernel(k_ref, p_ref, acc_ref):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            zero = k_ref[0, 0] ^ k_ref[0, 0]
+            z32 = zero.astype(jnp.uint32)
+            for r in range(ACC_ROWS_PK):
+                lo = one_col_pk[r] & 0xFFFF
+                hi = one_col_pk[r] >> 16
+                row = z32 + lo if lo else z32
+                if hi:
+                    row = row | ((z32 + hi) << 16)
+                for j in range(nb):
+                    acc_ref[0, j, r] = row
+
+        k = k_ref[0, 0]
+        neg = (k & 1) != 0
+        b = k >> 1
+        x = []
+        y = []
+        for j in range(H):
+            wx = p_ref[0, j]
+            wy = p_ref[0, H + j]
+            x.append(wx & MASK)
+            x.append(wx >> 16)
+            y.append(wy & MASK)
+            y.append(wy >> 16)
+        is_inf = (p_ref[0, 2 * H] & 1) != 0
+        zeros = [x[0] ^ x[0]] * NLIMBS
+        ny = _sub_body(F, zeros, y)
+        y = [jnp.where(neg, nv, v) for nv, v in zip(ny, y)]
+
+        A = [[acc_ref[0, j, r] for r in range(ACC_ROWS_PK)]
+             for j in range(nb)]
+        cur = list(A[0])
+        for j in range(1, nb):
+            sel = b == j
+            for r in range(ACC_ROWS_PK):
+                cur[r] = jnp.where(sel, A[j][r], cur[r])
+        unpk = []
+        for w in cur:
+            unpk.append(w & MASK)
+            unpk.append(w >> 16)
+        X3, Y3, Z3 = _madd_body_ec(
+            curve, (unpk[:NLIMBS], unpk[NLIMBS:2 * NLIMBS],
+                    unpk[2 * NLIMBS:]), (x, y), is_inf)
+        flat = X3 + Y3 + Z3
+        new = [flat[2 * q] | (flat[2 * q + 1] << 16)
+               for q in range(ACC_ROWS_PK)]
+        for j in range(nb):
+            sel = b == j
+            for r in range(ACC_ROWS_PK):
+                acc_ref[0, j, r] = jnp.where(sel, new[r], A[j][r])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nw, S),
+        in_specs=[
+            pl.BlockSpec((1, 1, lanes), lambda w, s: (w * S + s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NROWS_PK, lanes), lambda w, s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nb, ACC_ROWS_PK, lanes),
+                               lambda w, s: (w, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw, nb, ACC_ROWS_PK, lanes),
+                                       jnp.uint32),
+    )(keys_t.reshape(nw * S, 1, lanes), table_t)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def msm_stream_unbaked(curve: Curve, scalars_mont, table_t, c: int,
+                       lanes: int):
+    """Fixed-base MSM against an UNBAKED n-row stream table: per-window
+    bucket kernels + vmapped weighted folds + Horner over windows."""
+    from .msm import point_tree_sum
+    nw = n_windows_for(curve.Fr, c)
+    nb = (1 << (c - 1)) + 1
+    # window-ALIGNED key layout: each window's digit row padded to S*lanes
+    # so window w occupies key rows [w*S, (w+1)*S) (matches the kernel's
+    # index map); pad digits are 0 -> bucket 0 = weight 0
+    keys, signs = _signed_digits(curve.Fr, scalars_mont, c)   # (nw, n)
+    packed = keys * 2 + signs.astype(jnp.int32)
+    n = packed.shape[1]
+    S = table_t.shape[0]
+    pad = S * lanes - n
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((nw, pad), jnp.int32)], axis=1)
+    keys_t = packed.reshape(nw * S, lanes)
+    if _use_pallas():
+        pk = _stream_bucket_windows_pallas(curve, keys_t, table_t, nw, nb,
+                                           lanes)
+        lo = pk & jnp.uint32(MASK)
+        hi = pk >> 16
+        part = jnp.stack([lo, hi], axis=3).reshape(
+            nw, nb, ACC_ROWS, lanes)
+    else:
+        # vmap over windows: a python loop of per-window scans would
+        # inline nw copies of the scan into one program (CPU compile blowup)
+        part = jax.vmap(
+            lambda kw: _stream_bucket_fallback(curve, kw, table_t, nb,
+                                               lanes)
+        )(keys_t.reshape(nw, S, lanes))           # (nw, nb, 48, lanes)
+    pts = jnp.transpose(part, (3, 0, 1, 2)).reshape(
+        lanes, nw, nb, 3, NLIMBS)
+    buckets = point_tree_sum(curve, pts, axis=0)  # (nw, nb, 3, L)
+    per_window = jax.vmap(
+        lambda b: weighted_bucket_fold(curve, b))(buckets)
+
+    def horner(i, acc):
+        for _ in range(c):
+            acc = curve.double(acc)
+        return curve.add(acc, per_window[nw - 1 - i])
+
+    return jax.lax.fori_loop(0, nw, horner, curve.identity(()))
+
+
+def pack_base_stream_table(curve: Curve, points, lanes: int):
+    """(n, 3, L) projective points -> (ceil(n/lanes), 18, lanes) unbaked
+    stream table (window factor NOT applied)."""
+    aff = curve.batch_normalize(points)
+    inf = curve.is_identity(points)
+    rows = pack_stream_rows(aff[:, :2, :], inf)
+    S = rows.shape[0]
+    pad = (-S) % lanes
+    if pad:
+        pad_rows = jnp.zeros((pad, NROWS_PK), jnp.uint32
+                             ).at[:, 2 * (NLIMBS // 2)].set(1)
+        rows = jnp.concatenate([rows, pad_rows], axis=0)
+    return to_stream_layout(rows, lanes)
+
+
 def bake_stream_table(curve: Curve, points, c: int, lanes: int,
                       max_chunk_rows: int = 1 << 22):
     """[2^(c*w)]P_i for all windows, normalized to affine, packed to
@@ -323,39 +483,60 @@ def bake_stream_table(curve: Curve, points, c: int, lanes: int,
 
 
 def auto_c_stream(n: int) -> int:
-    """Window width for the streaming kernel: bounded by VMEM (the per-lane
-    bucket array is (2^(c-1)+1) x 48 x lanes x 4B), and below that by the
-    select-overhead / window-count trade.  c=7 -> 65 buckets = 12.8 MB at
-    1024 lanes: fits v5e VMEM with the streamed tiles; measured faster
-    than c=6 (37 vs 43 windows)."""
+    """Window width for the streaming kernel: bounded by VMEM (the packed
+    per-lane bucket array is (2^(c-1)+1) x 24 x lanes x 4B), and below
+    that by the bucket-RMW-traffic / window-count trade.  Measured on v5e
+    at k=18 (packed accumulators, 1024 lanes): c=6 -> 101 ms (2.60 M
+    pts/s), c=7 -> 108 ms, c=8 fails VMEM; unpacked was c=6 124 ms /
+    c=7 145 ms.  Fewer windows lose to the nb-proportional RMW traffic,
+    so c=6 is the sweet spot."""
     import os
     env = os.environ.get("HALO2_TPU_STREAM_C")
     if env:
         return int(env)
-    return 7 if n >= (1 << 10) else 5
+    return 6 if n >= (1 << 10) else 5
 
 
 class StreamMSM:
     """Drop-in fixed-base MSM engine (CachedMSM contract) built on the
-    streaming scatter-bucket kernel.  The descriptor is the baked
-    stream-layout table: 72 B/row * ceil(258/c)*n rows resident in HBM
-    (3.1 GB at k=20/c=7 — fits where the 512 B-padded gather tables
-    could not)."""
+    streaming scatter-bucket kernel.  Two descriptor shapes:
+
+    - BAKED (nw*n rows <= max_baked_rows, ~k<=18): window factors
+      pre-doubled in, one shared bucket space, 72 B/row * nw*n in HBM
+      (0.81 GB at k=18/c=6).
+    - UNBAKED (k>=19): n-row table (75 MB at k=20), per-window kernel
+      passes + Horner — same streamed bytes and madd count, tiny fold
+      overhead, and it coexists with the k>=20 prover state in HBM."""
 
     def __init__(self, curve: Curve, points, c: int | None = None,
-                 lanes: int | None = None):
+                 lanes: int | None = None,
+                 max_baked_rows: int = 1 << 24):
+        # 2^24 stream rows = 1.2 GB at 72 B/row: k<=18 bakes (0.81 GB),
+        # k>=19 streams the n-row table per window instead
         self.curve = curve
         self.n = n = points.shape[0]
         self.c = c = auto_c_stream(n) if c is None else c
         self.lanes = lanes = _lanes_stream() if lanes is None else lanes
+        nw = n_windows_for(curve.Fr, c)
+        self.baked = nw * n <= max_baked_rows
         from ..aot import aot
         salt = f"{curve.name}-stream-c{c}-l{lanes}-n{n}"
-        self.table = aot(
-            jax.jit(lambda p: bake_stream_table(curve, p, c, lanes)),
-            "msm_stream_table", salt)(points)
-        self._run = aot(
-            jax.jit(lambda s, t: msm_stream_baked(curve, s, t, c, lanes)),
-            "msm_stream_run", salt)
+        if self.baked:
+            self.table = aot(
+                jax.jit(lambda p: bake_stream_table(curve, p, c, lanes)),
+                "msm_stream_table", salt)(points)
+            self._run = aot(
+                jax.jit(lambda s, t: msm_stream_baked(
+                    curve, s, t, c, lanes)),
+                "msm_stream_run", salt)
+        else:
+            self.table = aot(
+                jax.jit(lambda p: pack_base_stream_table(curve, p, lanes)),
+                "msm_stream_base_table", salt)(points)
+            self._run = aot(
+                jax.jit(lambda s, t: msm_stream_unbaked(
+                    curve, s, t, c, lanes)),
+                "msm_stream_unbaked_run", salt)
 
     @property
     def wbases(self):

@@ -248,17 +248,48 @@ class FusedNTT:
         # jitted end-to-end (per input shape): the mid twiddles, transposes
         # and base kernels fuse into one executable — the eager version paid
         # ~30 dispatch round-trips per transform, which dominated wall time
-        # through the remote-TPU tunnel
+        # through the remote-TPU tunnel.
+        #
+        # Batch layout (round 5): the limb boundary transposes are done as
+        # 2-D (B*n, L) <-> (L, B*n) transposes and the batch rides MAJOR
+        # inside the four-step.  The natural 3-D form
+        # (B, n, L) -> (L, n, B) leaves B (= a handful of columns) on the
+        # minor dim and measured only ~21 GB/s on v5e; the 2-D form hits
+        # XLA's fast path (~59 GB/s) and every internal exchange then
+        # keeps a LARGE minor dim (tools/ntt_batch_probe.py,
+        # tools/transpose_probe.py — at B=8/k=18 the boundary was ~64% of
+        # the whole batched transform).
         F, n = self.F, self.n
         assert a.shape[-2] == n
         batch = a.shape[:-2]
         B = 1
         for d in batch:
             B *= d
-        x = a.reshape(B, n, NLIMBS)
-        x = jnp.transpose(x, (2, 1, 0))                    # (L, n, B)
-        x = self._ntt_mid(x, self.log_n, inv, arrays)
-        x = jnp.transpose(x, (2, 1, 0)).reshape(batch + (n, NLIMBS))
+        x = a.reshape(B * n, NLIMBS).T                     # (L, B*n) fast 2-D
+        plan = self._plan_info[self.log_n]
+        if plan[0] == "base" or B == 1:
+            x = x.reshape(NLIMBS, B, n)
+            x = jnp.swapaxes(x, 1, 2).reshape(NLIMBS, n, B)
+            x = self._ntt_mid(x, self.log_n, inv, arrays)
+            x = jnp.swapaxes(x.reshape(NLIMBS, n, B), 1, 2)
+        else:
+            _, l1, l2 = plan
+            n1, n2 = 1 << l1, 1 << l2
+            x = x.reshape(NLIMBS, B, n1, n2)
+            x = jnp.swapaxes(x, 1, 2)                      # (L, n1, B, n2)
+            x = self._ntt_mid(x.reshape(NLIMBS, n1, B * n2), l1, inv,
+                              arrays)                      # over i1
+            x = x.reshape(NLIMBS, n1, B, n2)
+            tw = arrays[f"{self.log_n}:{int(inv)}:mid"]    # (L, n1, n2)
+            from ..fields.pallas_ops import mont_mul_lm
+            x = mont_mul_lm(F, x, tw[:, :, None, :])
+            x = jnp.transpose(x, (0, 3, 2, 1))             # (L, n2, B, n1)
+            x = self._ntt_mid(x.reshape(NLIMBS, n2, B * n1), l2, inv,
+                              arrays)                      # over i2
+            x = x.reshape(NLIMBS, n2, B, n1)
+            x = jnp.swapaxes(x, 1, 2)                      # (L, B, n2, n1)
+        x = x.reshape(NLIMBS, B * n).T                     # fast 2-D back
+        x = x.reshape(batch + (n, NLIMBS))
         if inv:
             x = F.mul(x, n_inv)
         return x

@@ -334,3 +334,47 @@ def test_engine_descriptor_cache_no_stale_id_hit():
     want = naive_msm(curve, scalars, b2)
     assert bool(curve.eq(r2, want)), f"stale descriptor (id reuse={id(b2)==old_id})"
     assert not bool(curve.eq(r2, r1))
+
+
+# ----------------------------------------------------------------------
+# streaming scatter-bucket MSM (msm/stream_msm.py)
+# ----------------------------------------------------------------------
+
+def test_stream_msm_baked_and_unbaked_match_naive():
+    """Gather-free streaming MSM (round-5 default fixed-base engine):
+    baked shared-bucket and unbaked per-window+Horner variants vs naive,
+    under adversarial distributions — identity points, zero scalars,
+    equal scalars (single hot bucket), and n not a multiple of lanes."""
+    from halo2_tpu.msm.stream_msm import (
+        StreamMSM, bake_stream_table, msm_stream_baked,
+        pack_base_stream_table, msm_stream_unbaked)
+    curve = VESTA
+    rng = random.Random(9)
+    n = 21                      # not a multiple of lanes
+    g_aff = (curve.gen_x, curve.gen_y)
+    pts_aff = [py_mul(curve, g_aff, rng.randrange(1, 700))
+               for _ in range(n)]
+    pts_aff[4] = None
+    scalars = [rng.randrange(curve.Fr.p) for _ in range(n)]
+    scalars[0] = 0
+    scalars[6] = scalars[7] = scalars[8] = 99999   # hot bucket
+    enc_s = curve.Fr.encode_ints(scalars)
+    enc_p = curve.from_affine_ints(pts_aff)
+    want = naive_msm(curve, enc_s, enc_p)
+
+    for c, lanes in ((5, 8), (6, 16)):
+        tbl = bake_stream_table(curve, enc_p, c, lanes)
+        got = msm_stream_baked(curve, enc_s, tbl, c, lanes)
+        assert bool(curve.eq(got, want)), f"baked c={c}"
+        tbl_u = pack_base_stream_table(curve, enc_p, lanes)
+        got_u = msm_stream_unbaked(curve, enc_s, tbl_u, c, lanes)
+        assert bool(curve.eq(got_u, want)), f"unbaked c={c}"
+
+    # engine contract: auto-picks unbaked over the row threshold; short
+    # columns zero-pad
+    eng = StreamMSM(curve, enc_p, c=5, lanes=8, max_baked_rows=32)
+    assert not eng.baked
+    assert bool(curve.eq(eng(enc_s), want))
+    short = curve.Fr.encode_ints(scalars[:10])
+    want_short = naive_msm(curve, short, enc_p[:10])
+    assert bool(curve.eq(eng(short), want_short))

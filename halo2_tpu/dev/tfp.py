@@ -29,6 +29,20 @@ class TracingAssignment:
         self._region = None
         self._inner.exit_region()
 
+    def push_namespace(self, name):
+        self._log(f"push_namespace: {name}")
+        push = getattr(self._inner, "push_namespace", None)
+        if push is not None:
+            push(name)
+
+    def pop_namespace(self, gadget_name):
+        # gadget_name is the namespace opener's qualified function name —
+        # the tfp.rs analog of the gadget-traces symbol (circuit.rs:948)
+        self._log(f"pop_namespace: gadget={gadget_name}")
+        pop = getattr(self._inner, "pop_namespace", None)
+        if pop is not None:
+            pop(gadget_name)
+
     def enable_selector(self, selector, row):
         self._log(f"enable_selector: sel[{selector.index}] row={row}")
         self._inner.enable_selector(selector, row)

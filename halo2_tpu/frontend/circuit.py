@@ -399,8 +399,60 @@ class Layouter:
     def get_challenge(self, challenge: Challenge) -> Value:
         return self._assignment.get_challenge(challenge)
 
-    def namespace(self, name: str) -> "Layouter":
+    def namespace(self, name: str) -> "NamespacedLayouter":
+        """Namespaced view (circuit.rs:889-946).  The view pushes the
+        namespace onto the assignment (when it implements the hooks) and
+        reports gadget provenance on pop — see NamespacedLayouter."""
+        return NamespacedLayouter(self, name)
+
+
+class NamespacedLayouter:
+    """`Layouter.namespace` result — the reference's NamespacedLayouter
+    (halo2_frontend/src/circuit.rs:889-979).  On pop it hands the
+    assignment the GADGET name that opened the namespace: the reference's
+    `gadget-traces` feature resolves the caller's symbol from a backtrace
+    on Drop (circuit.rs:948-979); the Python analog captures the caller's
+    qualified function name at namespace creation.  Pop happens on
+    context-manager exit, explicit `.pop()`, or GC — idempotent."""
+
+    def __init__(self, parent, name: str):
+        import inspect
+        self._parent = parent
+        self._popped = False
+        gadget = None
+        frame = inspect.currentframe()
+        if frame is not None and frame.f_back is not None \
+                and frame.f_back.f_back is not None:
+            code = frame.f_back.f_back.f_code
+            gadget = getattr(code, "co_qualname", code.co_name)
+        self._gadget = gadget
+        push = getattr(parent._assignment, "push_namespace", None)
+        if push is not None:
+            push(name)
+
+    def __getattr__(self, k):
+        return getattr(self._parent, k)
+
+    def __enter__(self):
         return self
+
+    def __exit__(self, *exc):
+        self.pop()
+        return False
+
+    def __del__(self):
+        try:
+            self.pop()
+        except Exception:
+            pass
+
+    def pop(self):
+        if self._popped:
+            return
+        self._popped = True
+        pop = getattr(self._parent._assignment, "pop_namespace", None)
+        if pop is not None:
+            pop(self._gadget)
 
 
 class SimpleFloorPlanner:

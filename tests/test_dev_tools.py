@@ -190,3 +190,29 @@ def test_vk_serde_formats(setup):
     blob[14] ^= 0x5A
     with pytest.raises(ValueError):
         vk_read(F, params, K, circuit, bytes(blob), SerdeFormat.RAW_BYTES)
+
+
+def test_namespace_gadget_provenance():
+    """Layouter.namespace records the opening gadget's qualified function
+    name and reports it on pop (the reference's gadget-traces feature,
+    circuit.rs:948-979); TracingAssignment logs both events."""
+    circuit, c = make()
+    events = []
+    circuit.floor_planner = TracingFloorPlanner(
+        SimpleFloorPlanner, log_fn=events.append)
+
+    orig_synth = type(circuit).synthesize
+
+    def synth_with_namespace(self, config, layouter):
+        with layouter.namespace("my gadget") as ns:
+            orig_synth(self, config, ns)
+
+    type(circuit).synthesize = synth_with_namespace
+    try:
+        prover = MockProver.run(F, K, circuit, [[c]])
+        assert prover.verify() == []
+    finally:
+        type(circuit).synthesize = orig_synth
+    assert any(e == "push_namespace: my gadget" for e in events), events[:5]
+    pops = [e for e in events if e.startswith("pop_namespace")]
+    assert pops and "synth_with_namespace" in pops[0], pops

@@ -145,11 +145,22 @@ def stage_micro():
     _fetch(out)
     log(f"msm compile+first: {time.time()-t0:.1f}s")
 
+    # untimed warm runs: the first timed loop after a compile consistently
+    # measures ~40-50% slow (device warmup drift — reproduced in
+    # tools/stream_probe.py orderings); 3 runs settle it
+    for s in scal[:3]:
+        out = engine(s)
+    _fetch(out)
+
     while True:
-        t0 = time.time()
-        outs = [engine(s) for s in scal[:runs]]
-        _fetch(outs[-1][0])
-        elapsed = time.time() - t0
+        batches = []
+        for _ in range(2):             # best-of-2: sheds warmup drift
+            t0 = time.time()
+            outs = [engine(s) for s in scal[:runs]]
+            _fetch(outs[-1][0])
+            batches.append(time.time() - t0)
+        elapsed = min(batches)
+        log(f"msm batches: {[round(b, 3) for b in batches]}")
         if elapsed > max(0.5, 10 * rtt):
             break
         runs *= 4                      # too fast to time honestly: widen
@@ -208,8 +219,14 @@ def stage_micro():
     # (tools/alu_probe.py).  Measured ~2G muls/s on v5e — consistent with
     # the VPU's u32 multiply throughput and the ~2.5k-op limb kernel.
     rk = 1 << 21
-    a0 = rand_scalars(77)[:rk]
-    b0 = rand_scalars(78)[:rk]
+
+    def rand_wide(seed):
+        limbs = jax.random.randint(jax.random.PRNGKey(seed), (rk, 16), 0,
+                                   1 << 16, dtype=jnp.int32)
+        return F.to_mont(limbs.astype(jnp.uint32))
+
+    a0 = rand_wide(77)
+    b0 = rand_wide(78)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -260,6 +277,7 @@ def stage_micro():
     # sanity: the rate must not imply >819 GB/s if it WERE streamed — that
     # is the round-1..4 artifact this methodology replaces.  The ALU rate
     # has no per-mul HBM traffic, so the guard is on the streamed rate:
+    _fetch(F.mul(a0, b0)[0, :1])   # compile + warm (outside the timing)
     t0 = time.time()
     _fetch(F.mul(a0, b0)[0, :1])
     stream_elapsed = max(time.time() - t0 - rtt, 1e-4)

@@ -38,6 +38,28 @@ def test_e2e_k11_plonk_api_ipa():
 
 @pytest.mark.slow
 def test_two_circuits_one_transcript():
+    """Runs in a subprocess: XLA:CPU deterministically segfaults compiling
+    this program once the worker has accumulated enough live JIT
+    executables (same upstream bug as test_msm_adversarial_distributions;
+    standalone the test always passes — reconfirmed twice this round
+    after the round-5 suite additions pushed the shared worker over the
+    threshold)."""
+    import os
+    import subprocess
+    import sys
+    if not os.environ.get("HALO2_SCALE_2CIRC_INNER"):
+        env = dict(os.environ, HALO2_SCALE_2CIRC_INNER="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             os.path.abspath(__file__)
+             + "::test_two_circuits_one_transcript"],
+            env=env, capture_output=True, timeout=1200)
+        assert r.returncode == 0, r.stdout.decode()[-2000:]
+        return
+    _two_circuits_one_transcript_body()
+
+
+def _two_circuits_one_transcript_body():
     K = 6
     c1, i1 = plonk_api_instance(F)
     # the pk is shared, so circuit 2 must use the SAME fixed lookup table;
